@@ -1,0 +1,222 @@
+"""Pipeline configuration — the Spark equivalent of Punt's config.json.
+
+The reference compiles its JSON config once at startup into a Type registry
+(reference: lib/punt/config.go:13-32, state.go:15-55). Our equivalent: plain
+dataclasses that the pipeline materializes into broadcast lookup DataFrames
+and per-sink DDL. There is no query language in either engine — the config
+IS the plan.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+# --- Go time layout → Spark (JDK DateTimeFormatter) pattern ---------------
+# The reference expresses index date buckets with Go reference-time layouts
+# (e.g. "2006.01.02.15" — config.json:33, applied at cluster.go:284).
+# Ordered longest-first so "2006" wins over "06", "15" over "1", etc.
+_GO_TO_JAVA = [
+    ("2006", "yyyy"),
+    ("01", "MM"),
+    ("02", "dd"),
+    ("15", "HH"),
+    ("04", "mm"),
+    ("05", "ss"),
+    ("Jan", "MMM"),
+    ("06", "yy"),
+    ("-07:00", "XXX"),
+    ("Z07:00", "XXX"),
+    ("MST", "zzz"),
+]
+
+
+def go_time_format_to_java(layout: str) -> str:
+    """Translate a Go reference-time layout into a Spark datetime pattern.
+
+    Covers the token subset Punt's configs actually use (date buckets and the
+    ``@timestamp`` serialization format). Literal text is passed through;
+    any character that is a letter in JDK patterns gets quoted.
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(layout):
+        for go_tok, java_tok in _GO_TO_JAVA:
+            if layout.startswith(go_tok, i):
+                out.append(java_tok)
+                i += len(go_tok)
+                break
+        else:
+            ch = layout[i]
+            if ch.isalpha():
+                out.append(f"'{ch}'")
+            else:
+                out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+# The reference stamps @timestamp with this exact Go layout (cluster.go:285).
+# UTC offset is always rendered literally "+00:00" (session tz is UTC).
+AT_TIMESTAMP_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'+00:00'"
+
+
+@dataclass
+class MutatorConfig:
+    """One mutator in a Type's chain (reference: lib/punt/mutators.go:15-24).
+
+    name: "unixtime" | "lookup" (generalization of "geoip").
+    config: mutator-specific options — see enrich.py.
+    """
+
+    name: str
+    config: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class AlertConfig:
+    """A match alert + rollup window (reference: lib/punt/alert.go:96-130)."""
+
+    name: str
+    source_field: str = "content"
+    match: str = ""
+    rollup_window_sec: int = 2
+    title: str = ""
+    description: str = ""
+    fields: dict[str, str] = field(default_factory=dict)
+    sources: list[str] = field(default_factory=list)  # type names; [] = all
+
+
+@dataclass
+class TypeConfig:
+    """A routing target — Punt's ``Type`` (reference: lib/punt/type.go:10-43).
+
+    prefix + date_format define the sink partitioning (ES index name in the
+    reference, (route_key, ts_day) partition spec here).
+    """
+
+    name: str  # tag it matches; "*" = catch-all
+    prefix: str
+    mapping_type: str = "test"
+    date_format: str = "2006.01.02.15"  # Go layout, converted on use
+    transformer: str = "direct"  # direct | unpack-merge | unpack-take
+    payload_schema: str | None = None  # Spark DDL for JSON payload, optional
+    mutators: list[MutatorConfig] = field(default_factory=list)
+
+    @property
+    def java_date_format(self) -> str:
+        return go_time_format_to_java(self.date_format)
+
+    @property
+    def sink_name(self) -> str:
+        return "sink_" + (self.name if self.name != "*" else "catchall")
+
+
+@dataclass
+class GCConfig:
+    """Retention: keep newest N date-bucket partitions per prefix
+    (reference: lib/punt/gc.go:15-55, config.json:46-52)."""
+
+    prefix: str
+    keep: int
+
+
+@dataclass
+class PipelineConfig:
+    types: dict[str, TypeConfig] = field(default_factory=dict)
+    alerts: list[AlertConfig] = field(default_factory=list)
+    gc: list[GCConfig] = field(default_factory=list)
+    # Execution knobs (reference: num_workers/bulk_size/commit_interval —
+    # config.json:5-7). In Spark these become partition counts / file sizes.
+    output_partitions: int = 32
+    salt_buckets: int = 8  # salted repartition width for hot conv_ids
+    reference_year: int = 2017  # pinned RFC3164 year back-fill (parser.go:73-84)
+    job_id: str = "punt-spark"  # plays the `punt-server` hostname stamp
+
+    @property
+    def catchall(self) -> TypeConfig | None:
+        return self.types.get("*")
+
+    @classmethod
+    def from_json(cls, path: str) -> "PipelineConfig":
+        """Load a Punt-shaped JSON config (reference: lib/punt/config.go)."""
+        with open(path) as f:
+            raw = json.load(f)
+        types = {}
+        for name, t in raw.get("types", {}).items():
+            tr = t.get("transformer", {})
+            muts = [
+                MutatorConfig(m["name"], m.get("config", {}))
+                for m in t.get("mutators", [])
+            ]
+            types[name] = TypeConfig(
+                name=name,
+                prefix=t["prefix"],
+                mapping_type=t.get("mapping_type", "test"),
+                date_format=t.get("date_format", "2006.01.02.15"),
+                transformer=tr.get("name", "direct"),
+                payload_schema=t.get("payload_schema"),
+                mutators=muts,
+            )
+        alerts = []
+        for name, a in raw.get("alerts", {}).items():
+            cfg = a.get("config", {})
+            alerts.append(
+                AlertConfig(
+                    name=name,
+                    source_field=cfg.get("source", "content"),
+                    match=cfg.get("match", ""),
+                    rollup_window_sec=a.get("rollup_window", 2),
+                    title=cfg.get("title", ""),
+                    description=cfg.get("description", ""),
+                    fields=cfg.get("fields", {}),
+                    sources=a.get("sources", []),
+                )
+            )
+        gc = [GCConfig(prefix=p, keep=g["keep"]) for p, g in raw.get("gc", {}).items()]
+        return cls(types=types, alerts=alerts, gc=gc)
+
+
+def default_config() -> PipelineConfig:
+    """Mirror of the reference's sample config.json routing shape, extended
+    with the transcript-pipeline types used throughout tests/bench."""
+    return PipelineConfig(
+        types={
+            "*": TypeConfig(name="*", prefix="test-", transformer="direct"),
+            "logs": TypeConfig(name="logs", prefix="logs-", transformer="direct"),
+            "audit": TypeConfig(
+                name="audit", prefix="audit-", transformer="direct",
+                mutators=[MutatorConfig("lookup", {"on": "tool"})],
+            ),
+            "app-json": TypeConfig(
+                name="app-json",
+                prefix="appjson-",
+                transformer="unpack-merge",
+                payload_schema="level string, user string, epoch string",
+                mutators=[
+                    MutatorConfig(
+                        "unixtime", {"fields": {"epoch": "epoch_ts"}}
+                    )
+                ],
+            ),
+            "metrics-json": TypeConfig(
+                name="metrics-json",
+                prefix="metricsjson-",
+                transformer="unpack-take",
+                payload_schema="level string, user string, epoch string",
+            ),
+        },
+        alerts=[
+            AlertConfig(
+                name="magic-word-found",
+                source_field="content",
+                match="^ magic.*",
+                rollup_window_sec=2,
+                title="FOUND MAGIC",
+                description="{content}",
+                fields={"hostname": "{hostname}"},
+            )
+        ],
+        gc=[GCConfig(prefix="test-", keep=1), GCConfig(prefix="logs-", keep=5)],
+    )

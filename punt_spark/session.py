@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Designed for a multi-executor cluster reading ~100 TB; tested on local[N].
+Every knob here is a public Spark conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "punt_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this pipeline.
+
+    * AQE on: runtime coalescing + skew-join splitting — load-bearing for the
+      hot-conversation skew called out in SURVEY.md §4.
+    * Arrow on: every Python-side stage is a pandas UDF over Arrow batches.
+    * Session timezone pinned UTC: the reference formats ``@timestamp`` as
+      ``2006-01-02T15:04:05+00:00`` (cluster.go:285); reproducibility demands
+      wall-clock independence.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("PUNT_SPARK_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Broadcast threshold: routes/lookup tables are tiny; keep default 10m
+        # but make it explicit so the intent survives config drift.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10m")
+        .config("spark.driver.memory", os.environ.get("PUNT_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
