@@ -1,19 +1,29 @@
-"""Alerts — regex match → tumbling-window rollup → rendered action rows.
+"""Alerts — regex match → global tumbling-window rollup → rendered actions.
 
 Reference: /root/reference/lib/punt/alert.go. A ``match`` alert checks a
-regex against one source field (alert.go:109-110); the first matching event
-opens a rollup window, later matches within ``rollup_window`` seconds pile
-in, and the action fires once with the FIRST event's rendered title/
-description, the title suffixed ``" (N similar events)"`` when more than one
-event rolled up (action.go:113-115, N = count-1).
+regex against one source field of the post-transform payload
+(alert.go:109-110, invoked from the worker at cluster.go:303-305); the first
+matching event opens a rollup window, later matches within ``rollup_window``
+seconds pile in, and the action fires once with the FIRST event's rendered
+title/description, the title suffixed ``" (N similar events)"`` when more
+than one event rolled up (action.go:113-115, N = count-1).
 
-Batch re-expression: ``filter(rlike)`` → ``groupBy(window(ts, w))`` with
-``min_by(..., ts)`` picking the first event per window — an exact,
-deterministic analog of the reference's racy wall-clock window.
+One Alert instance is shared by every Type it's wired to (state.go:39-52) —
+the rollup window is GLOBAL across types. So the batch shape is: per type,
+``filter(rlike)`` + render (match-time rendering, like MatchAlert.Check);
+union the per-type event frames; one ``groupBy(window(ts, w))`` per alert
+with ``min_by(…, ts)`` picking the first event.
+
+Window semantics divergence (documented): the reference's windows open at
+wall-clock *arrival* of the first match (alert.go:50-65) — unreproducible by
+construction; we use event-time tumbling windows (epoch-aligned), the
+deterministic batch analog, and the pure-Python oracle pins the same rule.
 
 Templates: the reference renders Go text/template ``{{.field}}``
 (alert.go:112-124); our configs use ``{field}``, compiled at plan time into
-a ``concat`` of literals and columns — no Python in the row path.
+a ``concat`` of literals and columns — no Python in the row path. A field
+absent from the frame renders as "" (the reference would panic on a nil
+type assertion — divergence in our favor).
 """
 
 from __future__ import annotations
@@ -28,14 +38,18 @@ from .config import AlertConfig
 _FIELD_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 
-def render_template(template: str) -> Column:
+def render_template(template: str, available: list[str]) -> Column:
     """Compile "text {field} text" into concat(lit, col, lit, ...)."""
     parts: list[Column] = []
     pos = 0
     for m in _FIELD_RE.finditer(template):
         if m.start() > pos:
             parts.append(F.lit(template[pos : m.start()]))
-        parts.append(F.coalesce(F.col(m.group(1)).cast("string"), F.lit("")))
+        name = m.group(1)
+        if name in available:
+            parts.append(F.coalesce(F.col(name).cast("string"), F.lit("")))
+        else:
+            parts.append(F.lit(""))
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
@@ -44,26 +58,43 @@ def render_template(template: str) -> Column:
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
-def run_alert(df: DataFrame, alert: AlertConfig, ts_col: str = "ts") -> DataFrame:
-    """Evaluate one alert over a routed frame. Output: one row per rollup
-    window: (alert_name, window_start, window_end, n_events, title,
-    description, fields...)."""
+def matched_events(
+    df: DataFrame, alert: AlertConfig, type_name: str, ts_col: str = "ts"
+) -> DataFrame | None:
+    """Match-time filter + render for one (alert, type). Returns a
+    normalized event frame or None if the alert isn't wired to this type
+    (empty ``sources`` = every type, state.go:39-52) or the source field is
+    absent from this type's payload."""
+    if alert.sources and type_name not in alert.sources:
+        return None
+    if alert.source_field not in df.columns:
+        return None
     matched = df.filter(F.col(alert.source_field).rlike(alert.match))
+    cols = df.columns
+    out = matched.select(
+        F.lit(alert.name).alias("alert_name"),
+        F.col(ts_col).alias("ts"),
+        render_template(alert.title, cols).alias("title"),
+        render_template(alert.description, cols).alias("description"),
+        *[
+            render_template(v, cols).alias(f"field_{k}")
+            for k, v in alert.fields.items()
+        ],
+    )
+    return out
 
-    title = render_template(alert.title)
-    desc = render_template(alert.description)
-    field_cols = {k: render_template(v) for k, v in alert.fields.items()}
 
-    w = F.window(F.col(ts_col), f"{alert.rollup_window_sec} seconds")
-    first_by_ts = lambda c: F.min_by(c, F.col(ts_col))  # noqa: E731
-    aggs = [
+def rollup(events: DataFrame, alert: AlertConfig) -> DataFrame:
+    """Global tumbling-window rollup of one alert's event frame."""
+    w = F.window(F.col("ts"), f"{alert.rollup_window_sec} seconds")
+    first_by_ts = lambda c: F.min_by(c, F.col("ts"))  # noqa: E731
+    field_names = [f"field_{k}" for k in alert.fields]
+    agg = events.groupBy(w.alias("w")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        first_by_ts(title).alias("__title"),
-        first_by_ts(desc).alias("description"),
-    ] + [first_by_ts(c).alias(f"field_{k}") for k, c in field_cols.items()]
-
-    out = matched.groupBy(w.alias("w")).agg(*aggs)
-    # " (N similar events)" suffix when >1 event rolled up (action.go:113-115)
+        first_by_ts(F.col("title")).alias("__title"),
+        first_by_ts(F.col("description")).alias("description"),
+        *[first_by_ts(F.col(f)).alias(f) for f in field_names],
+    )
     rendered_title = F.when(
         F.col("n_events") > 1,
         F.concat(
@@ -73,27 +104,30 @@ def run_alert(df: DataFrame, alert: AlertConfig, ts_col: str = "ts") -> DataFram
             F.lit(" similar events)"),
         ),
     ).otherwise(F.col("__title"))
-    return out.select(
+    return agg.select(
         F.lit(alert.name).alias("alert_name"),
         F.col("w.start").alias("window_start"),
         F.col("w.end").alias("window_end"),
         F.col("n_events"),
         rendered_title.alias("title"),
         F.col("description"),
-        *[F.col(f"field_{k}") for k in field_cols],
+        *field_names,
     )
 
 
-def run_alerts(
-    df: DataFrame, alerts: list[AlertConfig], type_name: str, ts_col: str = "ts"
+def rollup_all(
+    per_alert_events: dict[str, list[DataFrame]], alerts: list[AlertConfig]
 ) -> DataFrame | None:
-    """All alerts wired to a type (empty ``sources`` = every type,
-    state.go:39-52). Returns a unioned alert frame or None."""
-    frames = [
-        run_alert(df, a, ts_col)
-        for a in alerts
-        if not a.sources or type_name in a.sources
-    ]
+    """Union each alert's per-type event frames and roll up globally."""
+    frames = []
+    by_name = {a.name: a for a in alerts}
+    for name, evs in per_alert_events.items():
+        if not evs:
+            continue
+        u = evs[0]
+        for e in evs[1:]:
+            u = u.unionByName(e)
+        frames.append(rollup(u, by_name[name]))
     if not frames:
         return None
     out = frames[0]

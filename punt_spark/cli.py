@@ -1,0 +1,66 @@
+"""CLI — run the pipeline over a transcripts parquet table.
+
+The Spark analog of ``cmd/puntd/main.go`` (flag parse → LoadConfig →
+State.Run). Usage:
+
+    python -m punt_spark.cli --input DIR --out DIR [--config cfg.json]
+        [--native-parse] [--no-resume] [--retention] [--master local[N]]
+
+``--input`` is a directory containing transcripts.parquet (+ optional
+lookup_tool.parquet / lookup_role.parquet), or a path to a parquet file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from .config import PipelineConfig, default_config
+from .pipeline import Pipeline, load_lookups
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="punt-spark", description=__doc__)
+    ap.add_argument("--input", required=True, help="transcripts parquet dir/file")
+    ap.add_argument("--out", required=True, help="output root (sinks, metrics)")
+    ap.add_argument("--config", help="Punt-shaped JSON config (optional)")
+    ap.add_argument("--master", default=None, help="Spark master override")
+    ap.add_argument("--native-parse", action="store_true",
+                    help="use the JVM regexp_extract parse path")
+    ap.add_argument("--no-resume", action="store_true",
+                    help="reprocess chunks even if committed")
+    ap.add_argument("--retention", action="store_true",
+                    help="run keep-N partition GC after the pipeline")
+    args = ap.parse_args(argv)
+
+    cfg = PipelineConfig.from_json(args.config) if args.config else default_config()
+    spark = get_spark(app_name="punt-spark-cli", master=args.master)
+
+    path = args.input
+    tpath = (
+        os.path.join(path, "transcripts.parquet")
+        if os.path.isdir(path) and os.path.exists(os.path.join(path, "transcripts.parquet"))
+        else path
+    )
+    transcripts = spark.read.parquet(tpath)
+    lookups = load_lookups(spark, path) if os.path.isdir(path) else {}
+
+    pipe = Pipeline(
+        spark,
+        cfg,
+        out_dir=args.out,
+        lookups=lookups,
+        use_native_parse=args.native_parse,
+    )
+    result = pipe.run(transcripts, resume=not args.no_resume)
+    if args.retention:
+        result["retention_expired"] = pipe.run_retention()
+    print(json.dumps(result, indent=1, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,7 +26,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .alerts import run_alerts
+from .alerts import matched_events, rollup_all
 from .config import PipelineConfig, default_config
 from .enrich import apply_mutators
 from .metrics import MetricsCollector
@@ -150,7 +150,7 @@ class Pipeline:
                     m.count_by_tag(unhandled, "msgs.unhandled", chunk)
                     m.partition_lineage(routed, chunk, "routed")
 
-                alert_frames = []
+                alert_events: dict[str, list] = {a.name: [] for a in cfg.alerts}
                 first = True
                 for t in cfg.types.values():
                     sub = routed.filter(F.col("sink") == t.sink_name)
@@ -180,10 +180,27 @@ class Pipeline:
                             lineage["partition_rows"].values()
                         ) if lineage["partition_rows"] else final.count()
                         m.count("msgs.inserted", chunk, inserted, tag=t.sink_name)
-                        m.count_by_tag(failed, "msgs.failed", chunk)
-                    af = run_alerts(enriched, cfg.alerts, t.name)
-                    if af is not None:
-                        alert_frames.append(af)
+                        # msgs.processed is tagged (cluster.go:319) but
+                        # unpack-take drops `tag` — count on the pre-transform
+                        # frame minus failures.
+                        sub_counts = {
+                            r["tag"]: r["count"]
+                            for r in sub.groupBy("tag").count().collect()
+                        }
+                        failed_counts = {
+                            r["tag"]: r["count"]
+                            for r in failed.groupBy("tag").count().collect()
+                        }
+                        for tag, c in failed_counts.items():
+                            m.count("msgs.failed", chunk, c, tag=tag)
+                        for tag, c in sub_counts.items():
+                            processed = c - failed_counts.get(tag, 0)
+                            if processed:
+                                m.count("msgs.processed", chunk, processed, tag=tag)
+                    for a in cfg.alerts:
+                        ev = matched_events(enriched, a, t.name)
+                        if ev is not None:
+                            alert_events[a.name].append(ev)
                     if first and fail_hook:
                         raise RuntimeError(
                             "simulated crash after first sink commit"
@@ -195,10 +212,8 @@ class Pipeline:
                 )
                 if self.collect_metrics:
                     m.count("parse_errors", chunk, errors.count())
-                if alert_frames:
-                    all_alerts = alert_frames[0]
-                    for f in alert_frames[1:]:
-                        all_alerts = all_alerts.unionByName(f)
+                all_alerts = rollup_all(alert_events, cfg.alerts)
+                if all_alerts is not None:
                     self.alerts_table.commit(
                         all_alerts, snapshot_id=chunk, partition_cols=[]
                     )

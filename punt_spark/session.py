@@ -49,6 +49,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "10m")
         .config("spark.driver.memory", os.environ.get("PUNT_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        # partition values are strings by contract (ts_day, route_key);
+        # inference would read ts_day back as DATE
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
     )
     for k, v in (extra_conf or {}).items():
