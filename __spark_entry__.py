@@ -1,38 +1,527 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Maps the punt_spark engine's operator surface (SURVEY.md §2) onto the
+driver's pre-registered tables:
+
+* ``events``     — stands in for transcripts (FIXTURES.md §5):
+                   event_type→tag, props(JSON)→content, user_id→conv_id.
+* ``documents``  — training-data ops: dedup, fingerprint, token/quality/
+                   language analysis, MinHash/LSH.
+* ``embeddings`` — similarity search: brute-force cosine top-k, near-dup.
+
+Every query is pure pyspark.sql built-ins (JVM-side, codegen-friendly);
+the paired oracle is ANSI SQL for DuckDB over the same parquet. Column
+names/aliases match exactly on both sides per the driver's compare rules.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+AT_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss'+00:00'"
+HOUR_BUCKET_FMT = "yyyy.MM.dd.HH"
+
+# tag→prefix routing used by the events-table queries (the Type registry
+# shape of /root/reference/config.json:28-45, '*' catch-all = 'evt-').
+ROUTES = [("purchase", "buy-"), ("signup", "join-")]
+CATCHALL_PREFIX = "evt-"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC so date_format matches DuckDB's tz-naive strftime regardless
+    # of the driver session's zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events joined to the route registry: broadcast join + '*' fallback
+    (reference cluster.go:253-263) + route_key (cluster.go:284)."""
+    e = _t(spark, sf_dir, "events")
+    routes = spark.createDataFrame(ROUTES, "rtag string, prefix string")
+    j = e.join(F.broadcast(routes), e.event_type == F.col("rtag"), "left")
+    return j.withColumn(
+        "route_key",
+        F.concat(
+            F.coalesce(F.col("prefix"), F.lit(CATCHALL_PREFIX)),
+            F.date_format("ts", HOUR_BUCKET_FMT),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_route_counts(spark, sf_dir):
+    """R1+R2+A1: tag dispatch w/ catch-all, hourly route_key, per-sink counts."""
+    return (
+        _routed(spark, sf_dir)
+        .groupBy("route_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_routed_rows(spark, sf_dir):
+    """R1-R3: per-row routed projection with the @timestamp stamp — the
+    routed-row equality gate."""
+    return _routed(spark, sf_dir).select(
+        F.col("event_id"),
+        F.col("event_type").alias("tag"),
+        F.col("route_key"),
+        F.date_format("ts", AT_TS_FMT).alias("at_ts"),
+    )
+
+
+def q_unpack_json(spark, sf_dir):
+    """T2/T3: JSON payload unpack (props → typed column)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+def q_regex_extract(spark, sf_dir):
+    """P1: regex capture-group extraction (the grok stage on events.props)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).alias("k_str"),
+    )
+
+
+def q_regex_filter(spark, sf_dir):
+    """F1: regex match predicate (alert source filter)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("props").rlike(r'"k": 1\d+'))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_unixtime_mutator(spark, sf_dir):
+    """M1: float epoch-seconds → formatted timestamp string
+    (mutators.go:26-58, with corrected epoch math)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_format(
+            F.timestamp_seconds(F.col("value").try_cast("double")), AT_TS_FMT
+        ).alias("event_time_s"),
+    )
+
+
+def q_window_rollup(spark, sf_dir):
+    """A4: tumbling-window rollup (alert window, 60s) per tag."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "60 seconds").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+        )
+    )
+
+
+def q_tail_filter(spark, sf_dir):
+    """F2: live-tail field-equality + predicate filter (control.go:114-126)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 100.0)
+    ).select("event_id", "user_id", "value")
+
+
+def q_retention_topk(spark, sf_dir):
+    """R9: keep-N retention — newest 2 day-buckets, lexicographic ==
+    chronological (gc.go:29-37)."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select(F.date_format("ts", "yyyy-MM-dd").alias("ts_day")).distinct()
+    w = Window.orderBy(F.col("ts_day").desc())
+    return (
+        days.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("ts_day")
+    )
+
+
+def q_tag_metrics(spark, sf_dir):
+    """A1: per-tag received / json-parseable counters."""
+    e = _t(spark, sf_dir, "events")
+    ok = F.from_json("props", "map<string,string>").isNotNull()
+    return e.groupBy(F.col("event_type").alias("tag")).agg(
+        F.count(F.lit(1)).alias("n_received"),
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_json_ok"),
+    )
+
+
+# --- training-data ops: documents ------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy (md5 of raw text)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+            "n_unique_texts"
+        ),
+    )
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of whitespace-normalized lowercase text."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return d.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace token counting."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality signals: length, punctuation count, stopword count."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[.,!?;]"), 0)).alias(
+            "n_punct"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"\b(the|and|of|to|is|a)\b"), 0
+            )
+        ).alias("n_stopwords"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic: English stopword density (≥2 hits → en)."""
+    d = _t(spark, sf_dir, "documents")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"\b(the|and|of|to|is)\b"), 0
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.when(n_stop >= 2, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def _shingled(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("ws", F.split(F.lower(F.trim("text")), r"\s+"))
+        .filter(F.size("ws") >= 3)
+        .withColumn(
+            "shingle",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws)-2),"
+                    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))"
+                )
+            ),
+        )
+    )
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash (1 permutation): min md5 over word-3-gram shingles. md5 is the
+    shared deterministic hash between Spark and DuckDB."""
+    sh = _shingled(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle").cast("binary"))).alias("minhash")
+    )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 4 hashes → 2 bands of 2 → bucket
+    join → candidate pairs (doc_a < doc_b)."""
+    sh = _shingled(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(str(j)), F.col("shingle")).cast("binary"))
+            ).alias(f"h{j}")
+            for j in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.md5(F.concat("h0", "h1").cast("binary")).alias("b")
+    ).unionAll(
+        sig.select(
+            "doc_id", F.md5(F.concat("h2", "h3").cast("binary")).alias("b")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# --- training-data ops: embeddings ------------------------------------------
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+)
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for query vector vec_id=0 (the ANN
+    baseline; sims rounded to 2dp with vec_id tie-break for cross-engine
+    determinism)."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sims = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(F.expr(_cosine_expr("v", "qv")), 2).alias("sim_r"),
+        )
+    )
+    w = Window.orderBy(F.col("sim_r").desc(), F.col("vec_id"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("vec_id", "sim_r")
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (probe set vec_id<50 vs all),
+    threshold 0.60, rounded sims."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    a = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    sim = F.expr(_cosine_expr("va", "vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("sim_r", F.round(sim, 2))
+        .filter(F.col("sim_r") >= 0.60)
+        .select("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver hooks
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the routed per-sink counts over sf0.001 events."""
+    return q_route_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "route_counts": q_route_counts,
+        "routed_rows": q_routed_rows,
+        "unpack_json": q_unpack_json,
+        "regex_extract": q_regex_extract,
+        "regex_filter": q_regex_filter,
+        "unixtime_mutator": q_unixtime_mutator,
+        "window_rollup": q_window_rollup,
+        "tail_filter": q_tail_filter,
+        "retention_topk": q_retention_topk,
+        "tag_metrics": q_tag_metrics,
+        "dedup_exact": q_dedup_exact,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "minhash_signature": q_minhash_signature,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_ROUTES_CTE = (
+    "WITH routes(rtag, prefix) AS (VALUES ('purchase','buy-'),"
+    "('signup','join-'))"
+)
+
+_SHINGLE_CTE = (
+    "WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+')"
+    " AS ws FROM documents), "
+    "sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle"
+    " FROM w, UNNEST(range(1, greatest(len(ws)-1, 1))) AS t(i)"
+    " WHERE len(ws) >= 3)"
+)
+
+_DOT_SQL = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)}))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "route_counts": f"""
+            {_ROUTES_CTE}
+            SELECT coalesce(r.prefix, 'evt-') || strftime(e.ts, '%Y.%m.%d.%H')
+                   AS route_key, count(*) AS n
+            FROM events e LEFT JOIN routes r ON e.event_type = r.rtag
+            GROUP BY 1
+        """,
+        "routed_rows": f"""
+            {_ROUTES_CTE}
+            SELECT e.event_id, e.event_type AS tag,
+                   coalesce(r.prefix, 'evt-') || strftime(e.ts, '%Y.%m.%d.%H')
+                   AS route_key,
+                   strftime(e.ts, '%Y-%m-%dT%H:%M:%S+00:00') AS at_ts
+            FROM events e LEFT JOIN routes r ON e.event_type = r.rtag
+        """,
+        "unpack_json": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+            FROM events
+        """,
+        "regex_extract": """
+            SELECT event_id, regexp_extract(props, '"k": (\\d+)', 1) AS k_str
+            FROM events
+        """,
+        "regex_filter": """
+            SELECT event_type, count(*) AS n
+            FROM events WHERE regexp_matches(props, '"k": 1\\d+')
+            GROUP BY event_type
+        """,
+        "unixtime_mutator": """
+            SELECT event_id,
+                   strftime(make_timestamp(CAST(value * 1000000 AS BIGINT)),
+                            '%Y-%m-%dT%H:%M:%S+00:00') AS event_time_s
+            FROM events
+        """,
+        "window_rollup": """
+            SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "tail_filter": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'purchase' AND value > 100.0
+        """,
+        "retention_topk": """
+            SELECT ts_day FROM (
+                SELECT ts_day, row_number() OVER (ORDER BY ts_day DESC) AS rn
+                FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS ts_day
+                      FROM events)
+            ) WHERE rn <= 2
+        """,
+        "tag_metrics": """
+            SELECT event_type AS tag, count(*) AS n_received,
+                   sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
+                   AS n_json_ok
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique_texts
+            FROM documents
+        """,
+        "dedup_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS fingerprint
+            FROM documents
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   len(regexp_extract_all(text, '[.,!?;]')) AS n_punct,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|and|of|to|is|a)\\b')) AS n_stopwords
+            FROM documents
+        """,
+        "lang_id": """
+            SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(lower(text),
+                        '\\b(the|and|of|to|is)\\b')) >= 2
+                        THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents
+        """,
+        "minhash_signature": f"""
+            {_SHINGLE_CTE}
+            SELECT doc_id, min(md5(shingle)) AS minhash
+            FROM sh GROUP BY doc_id
+        """,
+        "dedup_minhash_pairs": f"""
+            {_SHINGLE_CTE},
+            sig AS (SELECT doc_id,
+                        min(md5('0' || shingle)) AS h0,
+                        min(md5('1' || shingle)) AS h1,
+                        min(md5('2' || shingle)) AS h2,
+                        min(md5('3' || shingle)) AS h3
+                    FROM sh GROUP BY doc_id),
+            bands AS (SELECT doc_id, md5(h0 || h1) AS b FROM sig
+                      UNION ALL
+                      SELECT doc_id, md5(h2 || h3) AS b FROM sig)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.doc_id < b.doc_id
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (SELECT vec_id,
+                         round({_cosine_sql('embedding', 'qv')}, 2) AS sim_r
+                  FROM embeddings, q WHERE vec_id <> 0)
+            SELECT vec_id, sim_r FROM s
+            ORDER BY sim_r DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dup": f"""
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 50
+              AND round({_cosine_sql('a.embedding', 'b.embedding')}, 2) >= 0.60
+        """,
+    }

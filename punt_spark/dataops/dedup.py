@@ -1,0 +1,317 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (100 TB corpus):
+
+* Exact dedup is one hash-groupBy — map-side combine + AQE-coalesced
+  shuffle; never a global sort.
+* MinHash signatures are computed WITHOUT exploding shingles: a per-row
+  ``array_min(transform(shingles, …))`` per permutation stays inside
+  whole-stage codegen and shuffles nothing. Only the (tiny) band keys
+  shuffle for the LSH bucket join.
+* LSH buckets can be pathologically hot (boilerplate documents); the
+  candidate join caps bucket size (``max_bucket``) — the standard guard
+  against the O(n²) bucket blow-up.
+* SimHash is a vectorized pandas UDF (hash+bit-accumulate per Arrow batch);
+  near-dup candidates use the pigeonhole principle on 16-bit chunks, so a
+  Hamming-distance-≤3 pair is guaranteed to share ≥1 of 4 chunk keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "shingles"
+) -> DataFrame:
+    df = df.withColumn("__tokens", tokens_col(text_col))
+    # CASE guard: sequence(1, 0) would DESCEND ([1,0]) and feed slice() an
+    # illegal 0 start — short docs get an empty shingle set instead.
+    df = df.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN size(__tokens) >= {n} THEN "
+            f"transform(sequence(1, size(__tokens) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(__tokens, i, {n}))) "
+            f"ELSE array() END"
+        ),
+    ).drop("__tokens")
+    return df
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row per duplicate group (min id) — a
+    hash-groupBy join-back, no window over the full table."""
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    keyed = df.withColumn("__k", key)
+    keepers = keyed.groupBy("__k").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(keepers, ["__k", id_col], "left_semi").drop("__k")
+    )
+
+
+def exact_dup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(key).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(key)).alias("n_dupes"),
+    )
+
+
+# --- MinHash + LSH ------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_hashes]). Permutation j = xxhash64 with a
+    per-permutation prefix; min taken per-row over the shingle array —
+    shuffle-free."""
+    d = with_shingles(df, text_col, shingle_n).filter(F.size("shingles") > 0)
+    mins = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s, j=j: F.xxhash64(F.concat(F.lit(f"{j}\x1f"), s)),
+            )
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sig = d.select(F.col(id_col), *mins)
+    return sig.select(
+        id_col, F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit candidate pairs (a < b).
+
+    Buckets larger than ``max_bucket`` are dropped (boilerplate guard): at
+    web scale one viral template otherwise creates a quadratic bucket.
+    """
+    banded = sig_df.select(
+        id_col,
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> xxhash64(concat_ws(',',"
+                f"   transform(slice(sig, b * (size(sig) div {bands}) + 1,"
+                f"     size(sig) div {bands}), x -> cast(x as string)))))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    bucket_counts = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ok_buckets = bucket_counts.filter(F.col("__n") <= max_bucket).drop("__n")
+    pruned = banded.join(ok_buckets, ["band_idx", "band_hash"], "left_semi")
+    a = pruned.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = pruned.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (array_intersect /
+    array_union on distinct shingle arrays)."""
+    sh = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col), F.array_distinct("shingles").alias("sset")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sset", "sa"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sset", "sb"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        j.withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verify. Returns verified duplicate pairs."""
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sig, id_col, bands)
+    return jaccard_verify(cand, df, text_col, id_col, threshold=threshold)
+
+
+# --- n-gram Jaccard (no LSH; count-join formulation) --------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All-pairs Jaccard over docs sharing ≥1 shingle: explode → self-join on
+    shingle → |A∩B| counts → Jaccard. One shuffle on the shingle key; at
+    scale, shingle frequency capping (stop-shingles) bounds the join."""
+    sh = (
+        with_shingles(df, text_col, shingle_n)
+        .select(F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash -------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series, bits: int = 64) -> pd.Series:
+    """Vectorized-ish SimHash over an Arrow batch: stable 64-bit token
+    hashes (blake2b) accumulated into a bit-vote vector per doc."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    cache: dict[str, int] = {}
+
+    def th(tok: str) -> int:
+        h = cache.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            cache[tok] = h
+        return h
+
+    masks = np.uint64(1) << np.arange(bits, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if not isinstance(t, str) or not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.fromiter((th(tok) for tok in toks), dtype=np.uint64, count=len(toks))
+        votes = ((hs[:, None] & masks[None, :]) != 0).sum(axis=0) * 2 - len(hs)
+        sig = np.uint64(0)
+        for b in range(bits):
+            if votes[b] > 0:
+                sig |= masks[b]
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def _simhash_udf():
+    # created lazily: pandas_udf parses its DDL return type against the
+    # active session, so decorating at import time breaks sessionless imports
+    @pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        return _simhash_batch(texts)
+
+    return simhash64
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", _simhash_udf()(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k. Pigeonhole banding:
+    split 64 bits into 4 × 16-bit chunks; any pair within distance 3 shares
+    ≥1 exact chunk → join on (chunk_idx, chunk_value), verify with
+    bit_count(xor)."""
+    sh = with_simhash(df, text_col).select(id_col, "simhash")
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " c -> (simhash >> (c * 16)) & 65535)"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

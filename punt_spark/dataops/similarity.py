@@ -1,0 +1,233 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three tiers, same result contract (query_id, vec_id, sim, rank):
+
+* ``cosine_topk``        — brute force; broadcast the (small) query set,
+  JVM-native dot products via ``zip_with``/``aggregate``; exact baseline.
+* ``lsh_cosine_buckets`` / ``lsh_topk`` — random-hyperplane sign LSH with a
+  deterministic seed; candidates only compare within matching buckets
+  (multi-probe via several independent tables). The 100 TB path: bucket
+  keys shuffle, vectors don't fan out N×Q.
+* ``ivf_topk``           — IVF: k-means centroids (pyspark.ml, trained on a
+  sample), probe the ``nprobe`` nearest cells. Best recall/cost at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)}) / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+def _as_double(df: DataFrame, col: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force top-k per query. The query set is broadcast (small
+    by contract); ranking partitions by query so no global sort."""
+    v = _as_double(vectors, vec_col, "v").select(id_col, "v")
+    q = _as_double(queries, vec_col, "qv").select(query_id_col, "qv")
+    sims = v.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        F.expr(_cos("v", "qv")).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- sign-LSH -----------------------------------------------------------------
+
+
+def _make_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
+
+
+def make_sign_lsh_udf(dim: int, n_planes: int = 16, n_tables: int = 4, seed: int = 42):
+    """Vectorized pandas UDF: embedding → array of n_tables bucket keys.
+    The plane matrix is generated deterministically per executor from the
+    seed (no broadcast payload needed) and applied as one matmul per batch."""
+    planes = _make_planes(dim, n_planes, n_tables, seed)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def sign_buckets(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)  # (B, dim)
+        out = []
+        keys = np.empty((len(mat), planes.shape[0]), dtype=np.int64)
+        for t in range(planes.shape[0]):
+            signs = (mat @ planes[t].T) > 0  # (B, n_planes)
+            keys[:, t] = signs @ powers
+        for row in keys:
+            out.append(row.tolist())
+        return pd.Series(out)
+
+    return sign_buckets
+
+
+def lsh_cosine_buckets(
+    vectors: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, table_idx, bucket) — one row per (vector, table)."""
+    udf = make_sign_lsh_udf(dim, n_planes, n_tables, seed)
+    return vectors.withColumn("__b", udf(F.col(vec_col))).select(
+        id_col,
+        vec_col,
+        F.posexplode("__b").alias("table_idx", "bucket"),
+    )
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: compare only within shared (table, bucket)."""
+    vb = lsh_cosine_buckets(vectors, dim, vec_col, id_col, n_planes, n_tables, seed)
+    qb = lsh_cosine_buckets(
+        queries, dim, vec_col, query_id_col, n_planes, n_tables, seed
+    ).withColumnRenamed(vec_col, "__qvec")
+    cand = (
+        vb.join(qb, ["table_idx", "bucket"])
+        .select(
+            query_id_col,
+            id_col,
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.col("__qvec").cast("array<double>").alias("qv"),
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    sims = cand.select(
+        query_id_col, id_col, F.expr(_cos("v", "qv")).alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- IVF ------------------------------------------------------------------------
+
+
+def ivf_index(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+):
+    """Train k-means centroids (the IVF coarse quantizer). Returns
+    (centroids: np.ndarray, assign(df) -> df+cell)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors
+    if sample_fraction < 1.0:
+        train = vectors.sample(fraction=sample_fraction, seed=seed)
+    train = train.withColumn("features", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centroids = np.array([np.asarray(c) for c in km.clusterCenters()])
+
+    def assign(df: DataFrame, id_label: str = "cell") -> DataFrame:
+        withf = df.withColumn(
+            "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+        )
+        return km.transform(withf).withColumnRenamed("prediction", id_label).drop(
+            "features"
+        )
+
+    return centroids, assign
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF search: assign vectors to cells once; per query probe the
+    ``nprobe`` nearest cells only."""
+    spark = vectors.sparkSession
+    centroids, assign = ivf_index(vectors, n_cells, vec_col, seed)
+    v_assigned = assign(vectors).select(id_col, vec_col, "cell")
+
+    # nearest nprobe cells per query — computed driver-side on the (small)
+    # query set against the (tiny) centroid matrix
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    qmat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    sims = qn @ cn.T
+    probe_rows = []
+    for i, qid in enumerate(qpdf[query_id_col]):
+        for cell in np.argsort(-sims[i])[:nprobe]:
+            probe_rows.append((qid, int(cell)))
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=[query_id_col, "cell"])
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qv")
+    ).join(probes, query_id_col)
+
+    cand = v_assigned.join(F.broadcast(q), "cell").select(
+        query_id_col,
+        id_col,
+        F.col(vec_col).cast("array<double>").alias("v"),
+        "qv",
+    )
+    sims_df = cand.select(
+        query_id_col, id_col, F.expr(_cos("v", "qv")).alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        sims_df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

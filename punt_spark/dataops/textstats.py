@@ -1,0 +1,136 @@
+"""Text analysis: language-ID, quality scoring, token counting, document
+fingerprinting.
+
+Everything scalar here is a native column expression (JVM, codegen); the
+language-ID n-gram profile scorer is the one pandas UDF (vectorized
+char-trigram profile match per Arrow batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# --- token counting -------------------------------------------------------------
+
+# BPE-ish word/number/punct splitter: letters+digits runs, or single
+# punctuation — a cheap proxy for subword tokenizers.
+BPE_ISH = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "n_ws_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).withColumn(
+        "n_bpe_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)),
+    )
+
+
+# --- quality scoring --------------------------------------------------------------
+
+STOPWORDS = "the|and|of|to|is|a|in|that|it|for"
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase signals + a composite
+    score in [0,1]. All native expressions."""
+    text = F.col(text_col)
+    n_chars = F.length(text).cast("double")
+    n_tokens = F.size(F.split(F.trim(text), r"\s+")).cast("double")
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,!?;:]"), 0)).cast("double")
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(rf"\b({STOPWORDS})\b"), 0)
+    ).cast("double")
+    n_upper = F.size(F.regexp_extract_all(text, F.lit("[A-Z]"), 0)).cast("double")
+    mean_tok_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0)
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(0.0)
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(0.0)
+    length_ok = (n_chars >= 20) & (n_chars <= 100_000)
+    tok_len_ok = (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
+
+    score = (
+        F.when(length_ok, 0.3).otherwise(0.0)
+        + F.when(tok_len_ok, 0.2).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.2).otherwise(0.0)
+        + F.when(upper_ratio <= 0.3, 0.1).otherwise(0.0)
+        + F.least(stop_ratio * 2.0, F.lit(0.2))
+    )
+    return (
+        df.withColumn("punct_ratio", punct_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("upper_ratio", upper_ratio)
+        .withColumn("mean_tok_len", mean_tok_len)
+        .withColumn("quality_score", F.round(score, 4))
+    )
+
+
+# --- language-ID --------------------------------------------------------------------
+
+# Tiny char-trigram profiles (illustrative, deterministic). Real profiles
+# would be learned; the Spark plumbing (vectorized scoring per batch) is the
+# production-shaped part.
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng "],
+    "de": ["er ", "en ", " de", "der", "ie ", "ich", "sch", " un", "und", "ch "],
+    "fr": [" de", "es ", "de ", " le", "le ", "ent", " la", "la ", "ion", "que"],
+    "es": [" de", "de ", "os ", " la", "la ", "as ", "el ", " el", "ión", "que"],
+}
+
+
+def make_lang_id_udf(profiles: dict[str, list[str]] | None = None):
+    profiles = profiles or _LANG_PROFILES
+    langs = sorted(profiles)
+
+    @pandas_udf("string")
+    def lang_id(texts: pd.Series) -> pd.Series:
+        low = texts.fillna("").str.lower()
+        scores = np.zeros((len(low), len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            for tri in profiles[lang]:
+                scores[:, j] += low.str.count(__import__("re").escape(tri)).to_numpy()
+        best = scores.argmax(axis=1)
+        has_any = scores.max(axis=1) > 0
+        out = np.where(has_any, np.array(langs, dtype=object)[best], "und")
+        return pd.Series(out)
+
+    return lang_id
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", make_lang_id_udf()(F.col(text_col)))
+
+
+# --- fingerprinting -----------------------------------------------------------------
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two fingerprints: md5 of whitespace-normalized lowercase text (exact
+    near-normalization dedup key) and a 64-bit xxhash (cheap join key)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return df.withColumn("fingerprint_md5", F.md5(norm.cast("binary"))).withColumn(
+        "fingerprint_x64", F.xxhash64(norm)
+    )
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", window_tokens: int = 8
+) -> DataFrame:
+    """Winnowing-style rolling fingerprints: hash every ``window_tokens``-gram
+    and keep the per-document minimum per window offset — array column, no
+    explode."""
+    d = df.withColumn("__tokens", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    return d.withColumn(
+        "rolling_fp",
+        F.expr(
+            f"CASE WHEN size(__tokens) >= {window_tokens} THEN "
+            f"transform(sequence(1, size(__tokens) - {window_tokens - 1}),"
+            f" i -> xxhash64(concat_ws(' ', slice(__tokens, i, {window_tokens})))) "
+            f"ELSE array() END"
+        ),
+    ).drop("__tokens")

