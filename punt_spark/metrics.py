@@ -47,6 +47,27 @@ class MetricsCollector:
             total += int(r["count"])
         return total
 
+    def count_by_chunk_tag(
+        self,
+        df: DataFrame,
+        metric: str,
+        chunk_col: str = "chunk",
+        tag_col: str = "tag",
+    ) -> int:
+        """Per-(chunk, tag) counter in ONE aggregation over a whole group."""
+        total = 0
+        for r in df.groupBy(chunk_col, tag_col).count().collect():
+            self.rows.append(
+                {
+                    "chunk": r[chunk_col],
+                    "metric": metric,
+                    "tag": r[tag_col],
+                    "value": int(r["count"]),
+                }
+            )
+            total += int(r["count"])
+        return total
+
     def count(self, metric: str, chunk: str, value: int, tag: str | None = None):
         self.rows.append(
             {"chunk": chunk, "metric": metric, "tag": tag, "value": int(value)}

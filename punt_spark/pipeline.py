@@ -3,36 +3,51 @@ commit, with per-chunk resume, metrics, lineage, and alerts.
 
 This is the Spark re-expression of the reference's daemon main path
 (cmd/puntd/main.go → State.Run → ClusterWorker.run, cluster.go:233-324):
-one linear DataFrame plan per input chunk, with node boundaries exactly at
+one linear DataFrame plan per input *group*, with node boundaries exactly at
 the salted repartition (shuffle) and the snapshot commits (write).
 
-Scale notes (100 TB / 1000 executors):
-* The input is chunked by ts-day — on a real cluster each chunk is an
-  Iceberg partition-pruned scan; resume skips whole committed chunks.
-* The routed frame is cached once per chunk and fanned out to K sink writes
-  + metric aggregations (reference R7 multi-sink fan-out) — K metadata-cheap
-  jobs over one materialization.
-* Parse is the only Python stage (pandas UDF over Arrow batches), and can be
-  swapped for the JVM-native regexp_extract path (`use_native_parse=True`)
-  with identical results.
+Execution shape (scale rationale):
+
+* Input is chunked by ts-day (the resume/exactly-once unit) but *processed*
+  in groups: all pending chunks go through ONE parse+route pass and ONE
+  write job per sink (``commit_batch`` slices the write into per-chunk
+  snapshot manifests). A 30-day backfill is ~K sink jobs, not 30×K — at
+  bench scale this is the difference between per-job latency dominating and
+  actual throughput.
+* The parse output (the one Python/Arrow stage) is cached once per group;
+  the route join is a broadcast hash join recomputed cheaply per consumer.
+* Sink writes are independent → submitted concurrently from driver threads
+  (Spark schedules them in parallel), like the reference's per-type
+  goroutine fan-out (R7).
+* Groups are formed deterministically from the sorted pending-chunk list,
+  so a crash-resume re-forms identical groups → identical batch ids →
+  idempotent overwrite. (If NEW chunks appear between crash and resume,
+  side-table batches may be superseded — sink tables stay exactly-once
+  because their manifests are per-chunk.)
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .alerts import matched_events, rollup_all
-from .config import PipelineConfig, default_config
+from .config import PipelineConfig, TypeConfig, default_config
 from .enrich import apply_mutators
 from .metrics import MetricsCollector
 from .parse import split_errors, with_parsed, with_parsed_native
 from .route import route, routes_df
-from .sink import SnapshotTable, partition_counts, salted_write_layout
+from .sink import (
+    CHUNK_COL,
+    SnapshotTable,
+    salted_write_layout,
+)
 from .transform import apply_transformer
 
 
@@ -45,6 +60,8 @@ class Pipeline:
         lookups: dict[str, DataFrame] | None = None,
         use_native_parse: bool = False,
         collect_metrics: bool = True,
+        max_chunks_per_group: int = 64,
+        parallel_sink_writes: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg or default_config()
@@ -52,6 +69,8 @@ class Pipeline:
         self.lookups = lookups or {}
         self.use_native_parse = use_native_parse
         self.collect_metrics = collect_metrics
+        self.max_chunks_per_group = max_chunks_per_group
+        self.parallel_sink_writes = parallel_sink_writes
         self.metrics = MetricsCollector(self.cfg.job_id)
         os.makedirs(os.path.join(out_dir, "_chunks"), exist_ok=True)
         self.sinks = {
@@ -62,7 +81,7 @@ class Pipeline:
         self.alerts_table = SnapshotTable(os.path.join(out_dir, "alerts"))
         self._routes = routes_df(spark, self.cfg)
 
-    # -- resume bookkeeping ---------------------------------------------------
+    # -- resume bookkeeping ----------------------------------------------------
 
     def _chunk_marker(self, chunk: str) -> str:
         return os.path.join(self.out_dir, "_chunks", f"{chunk}.json")
@@ -76,7 +95,7 @@ class Pipeline:
             json.dump(info, f, indent=1)
         os.replace(tmp, self._chunk_marker(chunk))
 
-    # -- main entry -----------------------------------------------------------
+    # -- main entry --------------------------------------------------------------
 
     def run(
         self,
@@ -84,64 +103,79 @@ class Pipeline:
         resume: bool = True,
         fail_after_first_sink: bool = False,
     ) -> dict:
-        """Process all ts-day chunks of ``transcripts``. Committed chunks are
-        skipped when ``resume`` (exactly-once per chunk — the reference's
-        at-most-once R6 upgraded). ``fail_after_first_sink`` is a test hook
-        simulating a mid-chunk crash."""
+        """Process all pending ts-day chunks of ``transcripts``. Committed
+        chunks are skipped when ``resume`` (exactly-once per chunk — the
+        reference's at-most-once R6 upgraded). ``fail_after_first_sink`` is a
+        test hook simulating a mid-group crash."""
         t_start = time.monotonic()
         chunks = [
-            r["chunk"]
+            r["c"]
             for r in transcripts.select(
-                F.date_format("ts", "yyyy-MM-dd").alias("chunk")
+                F.date_format("ts", "yyyy-MM-dd").alias("c")
             )
             .distinct()
-            .orderBy("chunk")
+            .orderBy("c")
             .collect()
         ]
-        done, skipped = [], []
-        for chunk in chunks:
-            if resume and self.chunk_committed(chunk):
-                skipped.append(chunk)
-                continue
-            self._run_chunk(transcripts, chunk, fail_after_first_sink)
-            done.append(chunk)
+        pending = [
+            c for c in chunks if not (resume and self.chunk_committed(c))
+        ]
+        skipped = [c for c in chunks if c not in pending]
+        done: list[str] = []
+        for i in range(0, len(pending), self.max_chunks_per_group):
+            group = pending[i : i + self.max_chunks_per_group]
+            self._run_group(transcripts, group, fail_after_first_sink)
+            done.extend(group)
         self._write_metrics()
-        wall = time.monotonic() - t_start
         return {
             "chunks_processed": done,
             "chunks_skipped": skipped,
-            "wall_sec": wall,
+            "wall_sec": time.monotonic() - t_start,
             "metrics": self.metrics.totals(),
         }
 
-    def _run_chunk(self, transcripts: DataFrame, chunk: str, fail_hook: bool = False):
+    # -- group processing -----------------------------------------------------------
+
+    def _group_id(self, group: list[str]) -> str:
+        return hashlib.md5(",".join(sorted(group)).encode()).hexdigest()[:12]
+
+    def _run_group(
+        self, transcripts: DataFrame, group: list[str], fail_hook: bool = False
+    ):
         cfg = self.cfg
         m = self.metrics
-        with m.timing("processing_latency", chunk):
-            day = transcripts.filter(F.date_format("ts", "yyyy-MM-dd") == chunk)
-            day = day.withColumnRenamed("ts", "turn_ts")
-            # Spread the chunk across the cluster before the parse stage: a
-            # chunk read from few/large files would otherwise parse on a
-            # handful of tasks. Hash on conv_id (not round-robin) so the
-            # shuffle is deterministic; skipped when the scan already yields
-            # enough parallelism (the normal case at scale, where the input
-            # table has many files per day-partition).
-            scan_parts = day.rdd.getNumPartitions()
+        gid = self._group_id(group)
+        glabel = f"{group[0]}..{group[-1]}" if len(group) > 1 else group[0]
+        with m.timing("processing_latency", glabel):
+            gdf = transcripts.withColumn(
+                CHUNK_COL, F.date_format("ts", "yyyy-MM-dd")
+            ).filter(F.col(CHUNK_COL).isin(group))
+            gdf = gdf.withColumnRenamed("ts", "turn_ts")
+            # Spread the group across the cluster before the parse stage: a
+            # group read from few/large files would otherwise parse on a
+            # handful of tasks. Hash on conv_id (deterministic), skipped when
+            # the scan already yields enough parallelism (the normal case at
+            # scale — many files per day-partition).
             want = self.spark.sparkContext.defaultParallelism
-            if scan_parts < max(2, want // 2):
-                day = day.repartition(want, "conv_id", "turn_idx")
+            if gdf.rdd.getNumPartitions() < max(2, want // 2):
+                gdf = gdf.repartition(want, "conv_id", "turn_idx")
 
             parser = with_parsed_native if self.use_native_parse else with_parsed
             # Cache at the parse boundary: parse is the expensive stage (the
-            # one Python/Arrow round-trip); everything downstream — errors
-            # sweep, route join, K sink writes, alerts, metrics — re-reads
-            # the cached batch instead of re-parsing.
-            parsed = parser(day, "text", cfg.reference_year).cache()
-            good, errors = split_errors(parsed)
+            # one Python/Arrow round-trip); errors sweep, route join, K sink
+            # writes, alerts and metrics all re-read the cached batch.
+            parsed = parser(gdf, "text", cfg.reference_year).cache()
+            good, _ = split_errors(parsed)
+            # errors keep their chunk (derived from the INPUT ts — the parsed
+            # ts doesn't exist for a failed row)
+            errors = parsed.filter(~F.col("parse_ok")).select(
+                F.col(CHUNK_COL),
+                F.col("text").alias("data"),
+                F.col("parsed.error").alias("error"),
+            )
 
-            # Envelope flatten + synthetic source (reference stamps the peer
-            # address, server.go:213; fixtures derive it from conv_id).
             envelope = good.select(
+                CHUNK_COL,
                 "conv_id",
                 "turn_idx",
                 "role",
@@ -156,87 +190,111 @@ class Pipeline:
                 "parsed.content",
             ).withColumn("source", F.concat(F.lit("conv:"), F.col("conv_id")))
 
-            # The route join is a broadcast hash join over the cached parse
-            # output — cheap to recompute per consumer, so only `parsed` is
-            # cached.
+            # Broadcast route join — cheap to recompute per consumer.
             routed, unhandled = route(envelope, self._routes, job_id=cfg.job_id)
             try:
                 if self.collect_metrics:
-                    m.count_by_tag(routed, "msgs.received", chunk)
-                    m.count_by_tag(unhandled, "msgs.unhandled", chunk)
-                    m.partition_lineage(routed, chunk, "routed")
+                    m.count_by_chunk_tag(routed, "msgs.received")
+                    m.count_by_chunk_tag(unhandled, "msgs.unhandled")
+                    m.partition_lineage(routed, glabel, "routed")
 
                 alert_events: dict[str, list] = {a.name: [] for a in cfg.alerts}
-                first = True
-                for t in cfg.types.values():
+
+                def write_sink(t: TypeConfig):
                     sub = routed.filter(F.col("sink") == t.sink_name)
                     transformed, failed = apply_transformer(sub, t)
                     enriched = apply_mutators(transformed, t.mutators, self.lookups)
                     final = enriched.drop(
-                        "prefix", "mapping_type", "date_format", "transformer", "sink",
-                        "parse_ok", "parsed", "text",
+                        "prefix", "mapping_type", "date_format", "transformer",
+                        "sink", "parse_ok", "parsed", "text",
                     )
                     out = salted_write_layout(
                         final, cfg.output_partitions, cfg.salt_buckets
                     )
-                    lineage = {
-                        "chunk": chunk,
-                        "partition_rows": partition_counts(
-                            final, ["route_key", "ts_day"]
-                        )
-                        if self.collect_metrics
-                        else {},
-                    }
-                    with m.timing(f"write_latency.{t.sink_name}", chunk):
-                        manifest = self.sinks[t.sink_name].commit(
-                            out, snapshot_id=chunk, lineage=lineage
-                        )
+                    lineage_pc: dict[str, dict] = {}
+                    inserted: dict[str, int] = {}
                     if self.collect_metrics:
-                        inserted = sum(
-                            lineage["partition_rows"].values()
-                        ) if lineage["partition_rows"] else final.count()
-                        m.count("msgs.inserted", chunk, inserted, tag=t.sink_name)
+                        for r in (
+                            final.groupBy(CHUNK_COL, "route_key", "ts_day")
+                            .count()
+                            .collect()
+                        ):
+                            c = r[CHUNK_COL]
+                            lineage_pc.setdefault(c, {"partition_rows": {}})[
+                                "partition_rows"
+                            ][f"{r['route_key']}|{r['ts_day']}"] = r["count"]
+                            inserted[c] = inserted.get(c, 0) + r["count"]
+                    with m.timing(f"write_latency.{t.sink_name}", glabel):
+                        self.sinks[t.sink_name].commit_batch(
+                            out,
+                            batch_id=gid,
+                            chunks=group,
+                            lineage_per_chunk=lineage_pc,
+                        )
+                    return t, sub, failed, enriched, inserted
+
+                results = []
+                types = list(cfg.types.values())
+                if self.parallel_sink_writes and len(types) > 1 and not fail_hook:
+                    with ThreadPoolExecutor(max_workers=min(4, len(types))) as ex:
+                        results = list(ex.map(write_sink, types))
+                else:
+                    for t in types:
+                        results.append(write_sink(t))
+                        if fail_hook:
+                            raise RuntimeError(
+                                "simulated crash after first sink commit"
+                            )
+
+                for t, sub, failed, enriched, inserted in results:
+                    if self.collect_metrics:
+                        for c, n in inserted.items():
+                            m.count("msgs.inserted", c, n, tag=t.sink_name)
                         # msgs.processed is tagged (cluster.go:319) but
                         # unpack-take drops `tag` — count on the pre-transform
                         # frame minus failures.
                         sub_counts = {
-                            r["tag"]: r["count"]
-                            for r in sub.groupBy("tag").count().collect()
+                            (r[CHUNK_COL], r["tag"]): r["count"]
+                            for r in sub.groupBy(CHUNK_COL, "tag").count().collect()
                         }
                         failed_counts = {
-                            r["tag"]: r["count"]
-                            for r in failed.groupBy("tag").count().collect()
+                            (r[CHUNK_COL], r["tag"]): r["count"]
+                            for r in failed.groupBy(CHUNK_COL, "tag")
+                            .count()
+                            .collect()
                         }
-                        for tag, c in failed_counts.items():
-                            m.count("msgs.failed", chunk, c, tag=tag)
-                        for tag, c in sub_counts.items():
-                            processed = c - failed_counts.get(tag, 0)
-                            if processed:
-                                m.count("msgs.processed", chunk, processed, tag=tag)
+                        for (c, tag), n in failed_counts.items():
+                            m.count("msgs.failed", c, n, tag=tag)
+                        for (c, tag), n in sub_counts.items():
+                            p = n - failed_counts.get((c, tag), 0)
+                            if p:
+                                m.count("msgs.processed", c, p, tag=tag)
                     for a in cfg.alerts:
                         ev = matched_events(enriched, a, t.name)
                         if ev is not None:
                             alert_events[a.name].append(ev)
-                    if first and fail_hook:
-                        raise RuntimeError(
-                            "simulated crash after first sink commit"
-                        )
-                    first = False
 
-                self.errors_table.commit(
-                    errors.coalesce(4), snapshot_id=chunk, partition_cols=[]
+                self.errors_table.commit_batch(
+                    errors.coalesce(4), batch_id=gid, chunks=group,
+                    partition_cols=[],
                 )
                 if self.collect_metrics:
-                    m.count("parse_errors", chunk, errors.count())
+                    for r in errors.groupBy(CHUNK_COL).count().collect():
+                        m.count("parse_errors", r[CHUNK_COL], r["count"])
+
                 all_alerts = rollup_all(alert_events, cfg.alerts)
                 if all_alerts is not None:
                     self.alerts_table.commit(
-                        all_alerts.coalesce(4), snapshot_id=chunk, partition_cols=[]
+                        all_alerts.coalesce(4), snapshot_id=gid,
+                        partition_cols=[],
                     )
             finally:
                 parsed.unpersist()
 
-        self._mark_chunk(chunk, {"chunk": chunk, "committed_at": time.time()})
+        for chunk in group:
+            self._mark_chunk(
+                chunk, {"chunk": chunk, "group": gid, "committed_at": time.time()}
+            )
 
     def _write_metrics(self):
         pdf = self.metrics.to_pandas()
@@ -244,7 +302,7 @@ class Pipeline:
         if len(pdf):
             pdf.to_parquet(path, index=False)
 
-    # -- maintenance ----------------------------------------------------------
+    # -- maintenance -----------------------------------------------------------
 
     def run_retention(self) -> dict[str, list[str]]:
         """keep-N retention per configured prefix (reference gc.go:15-55)."""

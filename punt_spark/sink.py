@@ -3,16 +3,21 @@
 Reference mapping (SURVEY.md §2.5): Punt buffers rows into ES bulk requests
 and commits on size/interval triggers with bounded retries, dropping on
 failure — *at-most-once* (cluster.go:307-382). Here every write is an atomic
-snapshot commit: data files land first, then a manifest JSON is published via
-atomic rename; readers only see manifested files. A chunk whose snapshot
-exists is never reprocessed → *exactly-once per chunk*, a strict upgrade
-(documented divergence; `msgs.dropped` is structurally 0).
+snapshot commit: data files land first, then a manifest JSON (the list of
+files belonging to the snapshot) is published via atomic rename; readers
+only see manifested files. A chunk whose snapshot exists is never
+reprocessed → *exactly-once per chunk*, a strict upgrade (documented
+divergence; ``msgs.dropped`` is structurally 0).
 
-This is the Iceberg table layout in miniature (manifest ≈ snapshot metadata,
-`data/snap=<id>/route_key=…/ts_day=…` ≈ partitioned data files). On a real
-cluster the same interface binds to Iceberg (`writeTo(...).append()` +
-snapshot-id bookkeeping); the sandbox has no Iceberg jars, so the manifest
-layer stands in. Every operation below is O(metadata), never a data rewrite.
+This is the Iceberg table layout in miniature — manifest ≈ snapshot file
+list, ``data/batch=<id>/chunk=…/route_key=…/ts_day=…`` ≈ partitioned data
+files — and the group-commit shape matches Iceberg's: ONE physical write
+can span many logical chunks (``commit_batch``), then one manifest per
+chunk is published, so a 30-day backfill is one Spark job per sink, not 30,
+while resume granularity stays per-chunk. On a real cluster the same
+interface binds to Iceberg; the sandbox has no Iceberg jars, so the
+manifest layer stands in. Every maintenance operation below is
+O(metadata), never a data rewrite.
 
 Partition spec per BASELINE.json north_star: ``(route_key, ts_day)`` — the
 ES ``prefix + date_format(ts)`` index naming (cluster.go:284) becomes the
@@ -31,10 +36,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PARTITION_COLS = ["route_key", "ts_day"]
+CHUNK_COL = "chunk"
+_HIDDEN_COLS = ["batch", CHUNK_COL]
 
 
 class SnapshotTable:
-    """A partitioned parquet table with atomic, idempotent snapshot commits."""
+    """A partitioned parquet table with atomic, idempotent snapshot commits.
+
+    A *snapshot* is a manifest JSON naming its data files. Commits replace
+    the manifest via atomic rename; orphaned data files (from a crashed or
+    superseded batch) are invisible to readers.
+    """
 
     def __init__(self, root: str):
         self.root = root
@@ -43,7 +55,32 @@ class SnapshotTable:
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
-    # -- commit protocol ----------------------------------------------------
+    # -- write ---------------------------------------------------------------
+
+    def _write_batch_dir(
+        self, df: DataFrame, batch_id: str, part_cols: list[str]
+    ) -> str:
+        """Write df under data/batch=<id> (atomic dir swap)."""
+        path = os.path.join(self.data_dir, f"batch={batch_id}")
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        return path
+
+    def _publish(self, manifest: dict) -> dict:
+        sid = manifest["snapshot_id"]
+        tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{sid}.json"))
+        return manifest
 
     def commit(
         self,
@@ -52,47 +89,72 @@ class SnapshotTable:
         partition_cols: list[str] | None = None,
         lineage: dict | None = None,
     ) -> dict:
-        """Write ``df`` as snapshot ``snapshot_id``. Idempotent: recommitting
-        the same id replaces it atomically (crash-safe resume)."""
-        part_cols = partition_cols if partition_cols is not None else [
-            c for c in PARTITION_COLS if c in df.columns
-        ]
-        snap_data = os.path.join(self.data_dir, f"snap={snapshot_id}")
-        tmp_data = snap_data + ".tmp"
-        if os.path.exists(tmp_data):
-            shutil.rmtree(tmp_data)
-        writer = df.write.mode("overwrite")
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(tmp_data)
-
-        # Swap data dir, then publish the manifest via atomic rename. A crash
-        # between the two leaves orphan data invisible to readers.
-        if os.path.exists(snap_data):
-            shutil.rmtree(snap_data)
-        os.replace(tmp_data, snap_data)
-
+        """Single-snapshot commit (side tables, tests). Idempotent:
+        recommitting the same id replaces it atomically."""
+        part_cols = (
+            partition_cols
+            if partition_cols is not None
+            else [c for c in PARTITION_COLS if c in df.columns]
+        )
+        path = self._write_batch_dir(df, snapshot_id, part_cols)
         files = [
             os.path.relpath(f, self.root)
-            for f in glob.glob(
-                os.path.join(snap_data, "**", "*.parquet"), recursive=True
-            )
+            for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         ]
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "partition_cols": part_cols,
-            "files": files,
-            "n_files": len(files),
-            "lineage": lineage or {},
-            "committed_at": time.time(),
-        }
-        tmp_manifest = os.path.join(self.snap_dir, f".{snapshot_id}.json.tmp")
-        with open(tmp_manifest, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp_manifest, os.path.join(self.snap_dir, f"{snapshot_id}.json"))
-        return manifest
+        return self._publish(
+            {
+                "snapshot_id": snapshot_id,
+                "batch": snapshot_id,
+                "partition_cols": part_cols,
+                "files": files,
+                "n_files": len(files),
+                "lineage": lineage or {},
+                "committed_at": time.time(),
+            }
+        )
 
-    # -- read protocol -------------------------------------------------------
+    def commit_batch(
+        self,
+        df: DataFrame,
+        batch_id: str,
+        chunks: list[str],
+        partition_cols: list[str] | None = None,
+        lineage_per_chunk: dict[str, dict] | None = None,
+    ) -> dict[str, dict]:
+        """ONE physical write spanning many chunks → one snapshot manifest
+        per chunk. ``df`` must carry a ``chunk`` column; chunks absent from
+        the data still get an (empty) snapshot so resume can trust manifest
+        existence."""
+        part_cols = [CHUNK_COL] + (
+            partition_cols
+            if partition_cols is not None
+            else [c for c in PARTITION_COLS if c in df.columns]
+        )
+        path = self._write_batch_dir(df, batch_id, part_cols)
+        by_chunk: dict[str, list[str]] = {c: [] for c in chunks}
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):
+            rel = os.path.relpath(f, self.root)
+            for seg in rel.split(os.sep):
+                if seg.startswith(f"{CHUNK_COL}="):
+                    by_chunk.setdefault(seg.split("=", 1)[1], []).append(rel)
+                    break
+        out = {}
+        lineage_per_chunk = lineage_per_chunk or {}
+        for chunk, files in by_chunk.items():
+            out[chunk] = self._publish(
+                {
+                    "snapshot_id": chunk,
+                    "batch": batch_id,
+                    "partition_cols": part_cols,
+                    "files": files,
+                    "n_files": len(files),
+                    "lineage": lineage_per_chunk.get(chunk, {}),
+                    "committed_at": time.time(),
+                }
+            )
+        return out
+
+    # -- read ----------------------------------------------------------------
 
     def snapshots(self) -> dict[str, dict]:
         out = {}
@@ -106,18 +168,18 @@ class SnapshotTable:
         return os.path.exists(os.path.join(self.snap_dir, f"{snapshot_id}.json"))
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        """Read all committed snapshots (partition columns recovered from
-        directory layout — pruning works via the path filters)."""
-        snaps = self.snapshots()
-        paths = [
-            os.path.join(self.data_dir, f"snap={sid}") for sid in snaps
+        """Read exactly the manifested files (partition columns recovered
+        from directory layout; bookkeeping cols dropped)."""
+        files = [
+            os.path.join(self.root, f)
+            for m in self.snapshots().values()
+            for f in m["files"]
         ]
-        paths = [p for p in paths if os.path.exists(p)]
-        if not paths:
+        files = [f for f in files if os.path.exists(f)]
+        if not files:
             return None
-        return spark.read.option("basePath", self.data_dir).parquet(*paths).drop(
-            "snap"
-        )
+        df = spark.read.option("basePath", self.data_dir).parquet(*files)
+        return df.drop(*[c for c in _HIDDEN_COLS if c in df.columns])
 
     # -- maintenance ---------------------------------------------------------
 
@@ -136,30 +198,32 @@ class SnapshotTable:
         return sorted(keys)
 
     def expire_partitions(self, prefix: str, keep: int) -> list[str]:
-        """keep-N retention per prefix (reference: gc.go:15-55). Deletes the
-        expired partition directories and rewrites manifests to exclude them
-        — an O(metadata) operation, like Iceberg dropPartition."""
+        """keep-N retention per prefix (reference: gc.go:15-55). Rewrites
+        manifests to exclude expired partitions, then deletes their
+        directories — O(metadata), like Iceberg dropPartition."""
         keys = self.partitions(prefix)
         expired = keys[:-keep] if keep > 0 else keys
         if not expired:
             return []
         expired_set = {f"route_key={k}" for k in expired}
+        drop_dirs: set[str] = set()
         for sid, m in self.snapshots().items():
-            kept_files = [
-                f
-                for f in m["files"]
-                if not any(seg in expired_set for seg in f.split(os.sep))
-            ]
-            if len(kept_files) != len(m["files"]):
-                m["files"] = kept_files
-                m["n_files"] = len(kept_files)
-                tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
-                with open(tmp, "w") as f:
-                    json.dump(m, f, indent=1)
-                os.replace(tmp, os.path.join(self.snap_dir, f"{sid}.json"))
-        for d in glob.glob(os.path.join(self.data_dir, "snap=*", "route_key=*")):
-            if os.path.basename(d) in expired_set:
-                shutil.rmtree(d)
+            kept = []
+            for f in m["files"]:
+                segs = f.split(os.sep)
+                hit = next((s for s in segs if s in expired_set), None)
+                if hit is None:
+                    kept.append(f)
+                else:
+                    drop_dirs.add(
+                        os.path.join(self.root, *segs[: segs.index(hit) + 1])
+                    )
+            if len(kept) != len(m["files"]):
+                m["files"] = kept
+                m["n_files"] = len(kept)
+                self._publish(m)
+        for d in drop_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         return expired
 
 
@@ -203,5 +267,6 @@ def salted_write_layout(
         else F.lit(0)
     )
     out = df.repartition(n, F.col("route_key"), F.col("ts_day"), salt)
-    sort_cols = ["route_key", "ts_day"] + [c for c in order_cols if c in df.columns]
+    sort_cols = [c for c in (CHUNK_COL, "route_key", "ts_day") if c in df.columns]
+    sort_cols += [c for c in order_cols if c in df.columns]
     return out.sortWithinPartitions(*sort_cols)

@@ -1,0 +1,249 @@
+"""Unit tests for the individual operator modules + property tests."""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from punt_spark.alerts import render_template
+from punt_spark.config import (
+    PipelineConfig,
+    default_config,
+    go_time_format_to_java,
+)
+from punt_spark.enrich import apply_lookup, apply_unixtime
+from punt_spark.framing import frame_newlines, frame_octet_counted, frame_octets_str
+from punt_spark.parse import parse_rfc3164_batch
+from punt_spark.route import route, routes_df
+from punt_spark.tail import tail
+from punt_spark.transform import apply_transformer
+
+# --- config -----------------------------------------------------------------
+
+
+def test_go_time_format_to_java():
+    assert go_time_format_to_java("2006.01.02.15") == "yyyy.MM.dd.HH"
+    assert go_time_format_to_java("2006-01-02T15:04:05") == "yyyy-MM-dd'T'HH:mm:ss"
+    assert go_time_format_to_java("Jan 2006") == "MMM yyyy"
+
+
+def test_config_from_json(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(
+        """
+        {"types": {"*": {"prefix": "test-", "date_format": "2006.01.02.15",
+                    "transformer": {"name": "direct"}},
+                   "logs": {"prefix": "logs-", "transformer": {"name": "unpack-merge"},
+                    "payload_schema": "a string",
+                    "mutators": [{"name": "unixtime", "config": {"fields": {"a": "b"}}}]}},
+         "gc": {"logs-": {"keep": 5}},
+         "alerts": {"m": {"type": "match", "rollup_window": 2,
+                    "config": {"source": "content", "match": "^x",
+                               "title": "T", "description": "{content}", "fields": {}}}}}
+        """
+    )
+    cfg = PipelineConfig.from_json(str(p))
+    assert cfg.catchall.prefix == "test-"
+    assert cfg.types["logs"].transformer == "unpack-merge"
+    assert cfg.types["logs"].mutators[0].name == "unixtime"
+    assert cfg.gc[0].keep == 5
+    assert cfg.alerts[0].match == "^x"
+
+
+# --- framing (buffer_test.go goldens) ------------------------------------------
+
+
+def test_octet_framing_golden():
+    # buffer_test.go:34-48: sequential octet records
+    assert frame_octets_str("5 hello5 hello") == ["hello", "hello"]
+    # buffer_test.go:50-59: real rsyslog audit line
+    line = (
+        "98 <133>Mar 14 04:20:29 example-host-prod-1-1 audit "
+        "type=SYSCALL msg=audit(1489465219.995:1699): test"
+    )
+    recs = frame_octets_str(line)
+    assert len(recs) == 1 and recs[0].startswith("<133>") and len(recs[0]) == 98
+    # buffer_test.go:61-70: garbage skip
+    assert frame_octets_str("asdfasdfasdf 10 abcdefghij") == ["abcdefghij"]
+    # incomplete record buffers (here: dropped)
+    assert frame_octets_str("10 abc") == []
+
+
+def test_octet_framing_spark(spark):
+    df = spark.createDataFrame(
+        [("5 aaaaa3 bbb",), ("asdf 2 xy",)], "text string"
+    )
+    recs = [r["record"] for r in frame_octet_counted(df).collect()]
+    assert sorted(recs) == ["aaaaa", "bbb", "xy"]
+
+
+def test_newline_framing_spark(spark):
+    # buffer_test.go:72-90: a\nb\ncdef\n → 3 records
+    df = spark.createDataFrame([("a\nb\ncdef\n",)], "text string")
+    recs = [r["record"] for r in frame_newlines(df).collect()]
+    assert recs == ["a", "b", "cdef"]
+
+
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii"), min_size=0, max_size=30), max_size=5))
+@settings(max_examples=50, deadline=None)
+def test_octet_framing_roundtrip(payloads):
+    buf = "".join(f"{len(p)} {p}" for p in payloads)
+    assert frame_octets_str(buf) == payloads
+
+
+# --- parse totality (property) ----------------------------------------------------
+
+
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=20))
+@settings(max_examples=30, deadline=None)
+def test_parse_total(lines):
+    out = parse_rfc3164_batch(pd.Series(lines, dtype=object), 2017)
+    # every row lands in exactly one of parsed/errors
+    ok = out["error"].isna()
+    assert len(out) == len(lines)
+    assert (ok | out["error"].notna()).all()
+    assert (out.loc[ok, "priority"].notna()).all()
+
+
+# --- transformers --------------------------------------------------------------------
+
+
+@pytest.fixture()
+def envelope_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, 13, "h", "logs", 0, '{"level":"info","user":"u1","epoch":"5.5"}', "s"),
+            (2, 13, "h", "logs", 0, "not json", "s"),
+            (3, 13, "h", "logs", 0, '["array","not","object"]', "s"),
+        ],
+        "id long, priority int, hostname string, tag string, pid int, "
+        "content string, source string",
+    )
+
+
+def test_unpack_merge(spark, envelope_df):
+    from punt_spark.config import TypeConfig
+
+    t = TypeConfig(
+        name="logs", prefix="l-", transformer="unpack-merge",
+        payload_schema="level string, user string, epoch string",
+    )
+    out, failed = apply_transformer(envelope_df, t)
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["level"] == "info" and rows[1]["hostname"] == "h"
+    assert "content" not in out.columns
+    # non-object and non-JSON both fail, matching Go json.Unmarshal-into-map
+    assert {r["id"] for r in failed.collect()} == {2, 3}
+
+
+def test_unpack_take(spark, envelope_df):
+    from punt_spark.config import TypeConfig
+
+    t = TypeConfig(
+        name="logs", prefix="l-", transformer="unpack-take",
+        payload_schema="level string, user string, epoch string",
+    )
+    out, failed = apply_transformer(envelope_df, t)
+    assert "hostname" not in out.columns  # envelope discarded
+    assert {r["level"] for r in out.collect()} == {"info"}
+
+
+def test_direct(spark, envelope_df):
+    from punt_spark.config import TypeConfig
+
+    t = TypeConfig(name="logs", prefix="l-", transformer="direct")
+    out, failed = apply_transformer(envelope_df, t)
+    assert out.count() == 3 and failed.count() == 0
+
+
+# --- mutators ---------------------------------------------------------------------------
+
+
+def test_unixtime_mutator(spark):
+    df = spark.createDataFrame(
+        [("1489465219.995",), ("garbage",), (None,)], "epoch string"
+    )
+    out = apply_unixtime(df, {"fields": {"epoch": "epoch_ts"}}).collect()
+    assert out[0]["epoch_ts"] == "2017-03-14T04:20:19+00:00"
+    assert out[1]["epoch_ts"] is None  # unparseable → null (mutator error ignored)
+    assert out[2]["epoch_ts"] is None
+    # missing input field = silent no-op (mutators.go:44-46)
+    df2 = spark.createDataFrame([("x",)], "other string")
+    assert apply_unixtime(df2, {"fields": {"epoch": "epoch_ts"}}).columns == ["other"]
+
+
+def test_unixtime_custom_format(spark):
+    df = spark.createDataFrame([("0",)], "epoch string")
+    out = apply_unixtime(
+        df, {"fields": {"epoch": "t"}, "format": "2006.01.02.15"}
+    ).collect()
+    assert out[0]["t"] == "1970.01.01.00"
+
+
+def test_lookup_mutator(spark):
+    df = spark.createDataFrame([("grep",), ("unknown",)], "tool string")
+    dim = spark.createDataFrame(
+        [("grep", "search", 10)], "tool string, category string, risk_code int"
+    )
+    out = apply_lookup(df, {"on": "tool"}, {"tool": dim}).collect()
+    rows = {r["tool"]: r for r in out}
+    assert rows["grep"]["tool_category"] == "search"
+    assert rows["unknown"]["tool_category"] is None  # left join = no-op
+
+
+# --- routing -----------------------------------------------------------------------------
+
+
+def test_route_catchall_and_unhandled(spark):
+    import datetime
+
+    cfg = default_config()
+    routes = routes_df(spark, cfg)
+    df = spark.createDataFrame(
+        [
+            ("logs", datetime.datetime(2017, 3, 14, 4, 0, 0)),
+            ("nosuch", datetime.datetime(2017, 3, 14, 5, 0, 0)),
+        ],
+        "tag string, ts timestamp",
+    )
+    routed, unhandled = route(df, routes)
+    rows = {r["tag"]: r for r in routed.collect()}
+    assert rows["logs"]["route_key"] == "logs-2017.03.14.04"
+    assert rows["nosuch"]["route_key"] == "test-2017.03.14.05"  # '*' fallback
+    assert rows["logs"]["@timestamp"] == "2017-03-14T04:00:00+00:00"
+    assert unhandled.count() == 0
+
+    # without a catch-all, unmatched tags are unhandled (cluster.go:258-262)
+    no_catch = routes.filter(F.col("tag") != "*")
+    routed2, unhandled2 = route(df, no_catch)
+    assert routed2.count() == 1
+    assert [r["tag"] for r in unhandled2.collect()] == ["nosuch"]
+
+
+# --- tail ---------------------------------------------------------------------------------
+
+
+def test_tail_filter_sample(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "id long, k string"
+    )
+    out = tail(df, {"k": "a"})
+    assert out.count() == 50
+    sampled = tail(df, {"k": "a"}, sample_pct=10, seed=1)
+    n = sampled.count()
+    assert 0 < n < 30  # seeded sample in a sane band
+    # deterministic given the seed
+    assert sampled.count() == tail(df, {"k": "a"}, sample_pct=10, seed=1).count()
+
+
+# --- alert template render -------------------------------------------------------------------
+
+
+def test_render_template(spark):
+    df = spark.createDataFrame([("world", 5)], "name string, n int")
+    out = df.select(
+        render_template("hello {name} x{n}{missing}!", df.columns).alias("r")
+    ).collect()
+    assert out[0]["r"] == "hello world x5!"
