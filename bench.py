@@ -54,7 +54,7 @@ def _sf_from_dir(d: str) -> float:
 def ensure_transcripts(sf: float) -> tuple[str, int]:
     """Deterministic synthetic transcript parquet for this sf (cached)."""
     n = max(10_000, int(TURNS_PER_SF * sf))
-    path = os.path.join(BENCH_CACHE, f"transcripts_n{n}")
+    path = os.path.join(BENCH_CACHE, f"transcripts_v2_n{n}")
     marker = os.path.join(path, "_DONE")
     if not os.path.exists(marker):
         from punt_spark.fixtures import write_fixtures

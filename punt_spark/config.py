@@ -130,7 +130,10 @@ class PipelineConfig:
     # Execution knobs (reference: num_workers/bulk_size/commit_interval —
     # config.json:5-7). In Spark these become partition counts / file sizes.
     output_partitions: int = 32
-    salt_buckets: int = 8  # salted repartition width for hot conv_ids
+    # Salted repartition width for hot (route_key, ts_day) cells. Output
+    # file count ≈ salt_buckets × partition values — keep small; raise only
+    # when a single cell overflows a task (hot-conversation days).
+    salt_buckets: int = 4
     reference_year: int = 2017  # pinned RFC3164 year back-fill (parser.go:73-84)
     job_id: str = "punt-spark"  # plays the `punt-server` hostname stamp
 

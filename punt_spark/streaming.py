@@ -1,0 +1,152 @@
+"""Structured Streaming variant — the shape closest to the reference's
+continuously-running daemon.
+
+Reference mapping (SURVEY.md §2.9): Punt's TCP/UDP listeners feeding a
+bounded channel become ``readStream`` over the transcript table (file
+source here; Kafka/Iceberg streaming source on a real deployment); the
+bulk-buffer + commit-interval loop (cluster.go:307-338) becomes micro-batch
+triggers; per-batch snapshot commits via ``foreachBatch`` keep the sink
+layout identical to the batch pipeline (one manifest per micro-batch,
+exactly-once via the streaming checkpoint + idempotent snapshot ids).
+
+``Trigger.AvailableNow`` drains the backlog and stops — the batch/streaming
+boundary is just a trigger choice; all transform logic is shared with
+pipeline.py.
+
+The alert path in streaming mode uses event-time tumbling windows with a
+watermark (late rows beyond the watermark are dropped — the reference has
+no late-data concept at all; its windows are wall-clock arrival-based).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig, default_config
+from .enrich import apply_mutators
+from .parse import with_parsed
+from .route import route, routes_df
+from .sink import CHUNK_COL, SnapshotTable, salted_write_layout
+from .transform import apply_transformer
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+class StreamingPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig | None = None,
+        out_dir: str = "./punt_stream_out",
+        lookups: dict[str, DataFrame] | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or default_config()
+        self.out_dir = out_dir
+        self.lookups = lookups or {}
+        self.checkpoint = os.path.join(out_dir, "_checkpoint")
+        self.sinks = {
+            t.sink_name: SnapshotTable(os.path.join(out_dir, t.sink_name))
+            for t in self.cfg.types.values()
+        }
+        self.errors_table = SnapshotTable(os.path.join(out_dir, "errors"))
+        self._routes = routes_df(spark, self.cfg)
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int):
+        """foreachBatch body — mirrors Pipeline._run_group for one
+        micro-batch. Snapshot id = batch id → re-delivered batches (after a
+        checkpoint recovery) overwrite idempotently instead of duplicating."""
+        cfg = self.cfg
+        gdf = batch_df.withColumn(
+            CHUNK_COL, F.date_format("ts", "yyyy-MM-dd")
+        ).withColumnRenamed("ts", "turn_ts")
+        cached = (
+            with_parsed(gdf, "text", cfg.reference_year)
+            .select(
+                CHUNK_COL,
+                "conv_id", "turn_idx", "role", "tool", "turn_ts", "parse_ok",
+                F.when(~F.col("parse_ok"), F.col("text")).alias("raw_text"),
+                "parsed.priority", "parsed.ts", "parsed.hostname",
+                "parsed.tag", "parsed.pid", "parsed.content",
+                F.col("parsed.error").alias("parse_error"),
+            )
+            .cache()
+        )
+        try:
+            errors = cached.filter(~F.col("parse_ok")).select(
+                F.col(CHUNK_COL),
+                F.col("raw_text").alias("data"),
+                F.col("parse_error").alias("error"),
+            )
+            envelope = (
+                cached.filter(F.col("parse_ok"))
+                .drop("parse_ok", "raw_text", "parse_error")
+                .withColumn("source", F.concat(F.lit("conv:"), F.col("conv_id")))
+            )
+            routed, _ = route(envelope, self._routes, job_id=cfg.job_id)
+            for t in cfg.types.values():
+                sub = routed.filter(F.col("sink") == t.sink_name)
+                transformed, _failed = apply_transformer(sub, t)
+                enriched = apply_mutators(transformed, t.mutators, self.lookups)
+                final = enriched.drop(
+                    "prefix", "mapping_type", "date_format", "transformer", "sink"
+                )
+                out = salted_write_layout(
+                    final, cfg.output_partitions, cfg.salt_buckets
+                )
+                self.sinks[t.sink_name].commit(
+                    out, snapshot_id=f"batch-{batch_id:08d}"
+                )
+            self.errors_table.commit(
+                errors.coalesce(2),
+                snapshot_id=f"batch-{batch_id:08d}",
+                partition_cols=[],
+            )
+        finally:
+            cached.unpersist()
+
+    def run_available_now(self, input_path: str, max_files_per_trigger: int | None = None):
+        """Drain the input directory and stop (micro-batch mode)."""
+        reader = (
+            self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(input_path)
+        q = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+
+def streaming_alert_counts(
+    stream: DataFrame,
+    match: str,
+    window_sec: int = 2,
+    watermark: str = "10 seconds",
+    source_field: str = "text",
+) -> DataFrame:
+    """Watermarked tumbling-window alert rollup over a streaming frame —
+    the streaming analog of alerts.rollup (A4). Late rows beyond the
+    watermark are dropped."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .filter(F.col(source_field).rlike(match))
+        .groupBy(F.window("ts", f"{window_sec} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.col("n_events"),
+        )
+    )
