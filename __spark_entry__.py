@@ -165,7 +165,83 @@ def q_tag_metrics(spark, sf_dir):
     )
 
 
+LOOKUP_DIM = [
+    ("purchase", "revenue", 3),
+    ("signup", "growth", 1),
+    ("error", "reliability", 5),
+]
+
+
+def q_lookup_enrich(spark, sf_dir):
+    """M2 (geoip generalization): broadcast lookup enrichment with left-join
+    no-op on missing keys (mutators.go:60-113)."""
+    e = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        LOOKUP_DIM, "ltag string, category string, risk_code int"
+    )
+    return (
+        e.join(F.broadcast(dim), e.event_type == F.col("ltag"), "left")
+        .select("event_id", "event_type", "category", "risk_code")
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Stateful ordering op: per-user sessionization (gap > 30 min starts a
+    new session) via lag window — the (conv_id, turn_idx) stable-ordering
+    machinery exercised on events."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch (UTC)
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def q_turn_ordering_digest(spark, sf_dir):
+    """Per-turn equality under stable ordering: per-user event_id sequence,
+    ordered by (ts, event_id), joined into one digest string — the
+    sort-then-concat per-conversation invariant check from the north_star."""
+    e = _t(spark, sf_dir, "events")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id"))),
+        lambda s: s["event_id"].cast("string"),
+    )
+    return e.groupBy("user_id").agg(
+        F.array_join(ordered, ",").alias("event_seq")
+    )
+
+
 # --- training-data ops: documents ------------------------------------------
+
+
+def q_dedup_keep_first(spark, sf_dir):
+    """Exact dedup keep-first: representative doc_id (min) per text hash."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash-64 per document (vectorized pandas UDF) — no SQL oracle
+    (bit-vote accumulation isn't DuckDB-expressible); the driver records the
+    weaker rows-only check, and tests/test_dataops.py pins semantics."""
+    from punt_spark.dataops.dedup import with_simhash
+
+    d = _t(spark, sf_dir, "documents")
+    return with_simhash(d).select("doc_id", "simhash")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -365,6 +441,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tail_filter": q_tail_filter,
         "retention_topk": q_retention_topk,
         "tag_metrics": q_tag_metrics,
+        "lookup_enrich": q_lookup_enrich,
+        "sessionize": q_sessionize,
+        "turn_ordering_digest": q_turn_ordering_digest,
+        "dedup_keep_first": q_dedup_keep_first,
+        "simhash": q_simhash,
         "dedup_exact": q_dedup_exact,
         "dedup_fingerprint": q_dedup_fingerprint,
         "token_count": q_token_count,
@@ -458,6 +539,43 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END)
                    AS n_json_ok
             FROM events GROUP BY event_type
+        """,
+        "lookup_enrich": """
+            WITH dim(ltag, category, risk_code) AS (VALUES
+                ('purchase','revenue',3), ('signup','growth',1),
+                ('error','reliability',5))
+            SELECT e.event_id, e.event_type, d.category, d.risk_code
+            FROM events e LEFT JOIN dim d ON e.event_type = d.ltag
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, event_id,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event
+            FROM s GROUP BY user_id, session_id
+        """,
+        "turn_ordering_digest": """
+            SELECT user_id,
+                   string_agg(CAST(event_id AS VARCHAR), ','
+                              ORDER BY ts, event_id) AS event_seq
+            FROM events GROUP BY user_id
+        """,
+        "dedup_keep_first": """
+            SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
         """,
         "dedup_exact": """
             SELECT count(*) AS n_docs,

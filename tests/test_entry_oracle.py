@@ -45,11 +45,20 @@ def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
     return out[cols].sort_values(cols).reset_index(drop=True)
 
 
-QUERY_NAMES = sorted(entrymod.queries().keys())
+QUERY_NAMES = sorted(entrymod.oracle_sql().keys())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 
 def test_oracle_covers_queries():
-    assert set(entrymod.oracle_sql().keys()) == set(entrymod.queries().keys())
+    # every query has an oracle except documented rows-only ops
+    assert set(ROWS_ONLY) == {"simhash"}
+    assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    df = entrymod.queries()[name](spark, SF_DIR)
+    assert df.count() > 0
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
