@@ -37,7 +37,7 @@ TURNS_PER_SF = 6_000_000  # ~lineitem row count parity
 BENCH_CACHE = os.environ.get("PUNT_BENCH_CACHE", "/tmp/punt_spark_bench")
 # Core-scaling config: N vs 4N cores on a fixed input large enough that the
 # CPU work dominates the (shared-disk) scan floor.
-CORE_N = int(os.environ.get("PUNT_BENCH_CORE_N", "2"))
+CORE_N = int(os.environ.get("PUNT_BENCH_CORE_N", "1"))
 CORE_4N = 4 * CORE_N
 CORE_TURNS = int(os.environ.get("PUNT_BENCH_CORE_TURNS", str(9_600_000)))
 
@@ -167,13 +167,15 @@ def run_core_once(threads: int, fixtures_path: str, n_rows: int) -> dict:
             "parsed.tag", "parsed.pid", "parsed.content",
         )
         routed, _ = route(env, routes_df(spark, default_config()))
-        # steady-state measurement: first pass warms JIT/codegen + Python
-        # workers (a fresh JVM penalizes the short high-parallelism run,
-        # understating efficiency); the second pass is timed
-        routed.write.format("noop").mode("overwrite").save()
-        t0 = time.monotonic()
-        routed.write.format("noop").mode("overwrite").save()
-        wall = time.monotonic() - t0
+        # steady-state: two passes, take the min (the first pays JIT/codegen
+        # + Python-worker startup; a fresh JVM otherwise penalizes the short
+        # high-parallelism run and understates efficiency)
+        walls = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            routed.write.format("noop").mode("overwrite").save()
+            walls.append(time.monotonic() - t0)
+        wall = min(walls)
     finally:
         spark.stop()
         time.sleep(1)

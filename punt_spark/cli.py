@@ -24,7 +24,7 @@ from .session import get_spark
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="punt-spark", description=__doc__)
-    ap.add_argument("--input", required=True, help="transcripts parquet dir/file")
+    ap.add_argument("--input", help="transcripts parquet dir/file (required unless --tail)")
     ap.add_argument("--out", required=True, help="output root (sinks, metrics)")
     ap.add_argument("--config", help="Punt-shaped JSON config (optional)")
     ap.add_argument("--master", default=None, help="Spark master override")
@@ -34,8 +34,36 @@ def main(argv: list[str] | None = None) -> int:
                     help="reprocess chunks even if committed")
     ap.add_argument("--retention", action="store_true",
                     help="run keep-N partition GC after the pipeline")
+    ap.add_argument("--tail", metavar="SINK",
+                    help="instead of running the pipeline, tail a sink table "
+                    "under --out (punt-cli analog): print matching rows")
+    ap.add_argument("--tail-filter", action="append", default=[],
+                    metavar="FIELD=VALUE",
+                    help="field-equality filter for --tail (repeatable)")
+    ap.add_argument("--sample", type=int, default=100,
+                    help="percentage sample for --tail (default 100)")
+    ap.add_argument("--limit", type=int, default=20,
+                    help="max rows printed by --tail")
     args = ap.parse_args(argv)
 
+    if args.tail:
+        from .sink import SnapshotTable
+        from .tail import tail
+
+        spark = get_spark(app_name="punt-spark-tail", master=args.master)
+        table = SnapshotTable(os.path.join(args.out, args.tail))
+        df = table.read(spark)
+        if df is None:
+            print("[]")
+            return 0
+        filters = dict(kv.split("=", 1) for kv in args.tail_filter)
+        rows = tail(df, filters, args.sample).limit(args.limit).collect()
+        print(json.dumps([r.asDict(recursive=True) for r in rows],
+                         default=str, indent=1))
+        return 0
+
+    if not args.input:
+        ap.error("--input is required unless --tail")
     cfg = PipelineConfig.from_json(args.config) if args.config else default_config()
     spark = get_spark(app_name="punt-spark-cli", master=args.master)
 

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 PARTITION_COLS = ["route_key", "ts_day"]
 CHUNK_COL = "chunk"
-_HIDDEN_COLS = ["batch", CHUNK_COL]
+_HIDDEN_COLS = ["batch", "snap", CHUNK_COL]
 
 
 class SnapshotTable:
