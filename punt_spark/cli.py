@@ -30,6 +30,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None, help="Spark master override")
     ap.add_argument("--native-parse", action="store_true",
                     help="use the JVM regexp_extract parse path")
+    ap.add_argument("--frame", choices=["none", "newline", "octet"],
+                    default="none",
+                    help="pre-parse record framing (reference: TCP newline / "
+                    "RFC6587 octet_counted servers)")
     ap.add_argument("--no-resume", action="store_true",
                     help="reprocess chunks even if committed")
     ap.add_argument("--retention", action="store_true",
@@ -82,6 +86,7 @@ def main(argv: list[str] | None = None) -> int:
         out_dir=args.out,
         lookups=lookups,
         use_native_parse=args.native_parse,
+        frame_mode=args.frame,
     )
     result = pipe.run(transcripts, resume=not args.no_resume)
     if args.retention:

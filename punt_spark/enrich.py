@@ -61,7 +61,20 @@ def apply_lookup(
     """
     key = cfg["on"]
     prefix = cfg.get("prefix", key)
-    dim = lookups[key]
+    dim = lookups.get(key)
+    if dim is None:
+        # no dimension table registered: no-op with stable schema (null
+        # outputs) — the column-level analog of the mutator's silent
+        # missing-input no-op (mutators.go:90-93)
+        for c in ("category", "risk_code", "coords"):
+            df = df.withColumn(
+                f"{prefix}_{c}",
+                F.lit(None).cast(
+                    {"category": "string", "risk_code": "int",
+                     "coords": "array<double>"}[c]
+                ),
+            )
+        return df
     value_cols = [c for c in dim.columns if c != key]
     renamed = dim.select(
         F.col(key),

@@ -62,7 +62,10 @@ class Pipeline:
         collect_metrics: bool = True,
         max_chunks_per_group: int = 64,
         parallel_sink_writes: bool = True,
+        frame_mode: str = "none",
     ):
+        if frame_mode not in ("none", "newline", "octet"):
+            raise ValueError(f"unknown frame_mode {frame_mode!r}")
         self.spark = spark
         self.cfg = cfg or default_config()
         self.out_dir = out_dir
@@ -71,6 +74,7 @@ class Pipeline:
         self.collect_metrics = collect_metrics
         self.max_chunks_per_group = max_chunks_per_group
         self.parallel_sink_writes = parallel_sink_writes
+        self.frame_mode = frame_mode
         self.metrics = MetricsCollector(self.cfg.job_id)
         os.makedirs(os.path.join(out_dir, "_chunks"), exist_ok=True)
         self.sinks = {
@@ -164,6 +168,24 @@ class Pipeline:
             if n_files < max(2, want // 2):
                 gdf = gdf.repartition(want, "conv_id", "turn_idx")
 
+            # Framing (reference servers option `octet_counted`,
+            # config.json:23; newline framing is the TCP default): each
+            # framed record becomes its own row, sub-indexed by record_idx
+            # so the (conv_id, turn_idx, record_idx) ordering stays stable.
+            if self.frame_mode != "none":
+                if self.frame_mode == "newline":
+                    records = F.split(F.col("text"), "\n")
+                else:
+                    from .framing import _frame_octets_udf
+
+                    records = _frame_octets_udf()(F.col("text"))
+                gdf = (
+                    gdf.select(
+                        *[c for c in gdf.columns if c != "text"],
+                        F.posexplode(records).alias("record_idx", "text"),
+                    ).filter(F.col("text") != "")
+                )
+
             parser = with_parsed_native if self.use_native_parse else with_parsed
             # Cache at the parse boundary: parse is the expensive stage (the
             # one Python/Arrow round-trip); errors sweep, route join, K sink
@@ -178,10 +200,12 @@ class Pipeline:
             # and the writer re-sorts anyway once the cache scan loses the
             # ordering guarantee. Per-sink layout + warm parse cache wins.)
             raw = parser(gdf, "text", cfg.reference_year)
+            extra_meta = ["record_idx"] if "record_idx" in raw.columns else []
             cached = raw.select(
                 CHUNK_COL,
                 "conv_id",
                 "turn_idx",
+                *extra_meta,
                 "role",
                 "tool",
                 "turn_ts",

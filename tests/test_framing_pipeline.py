@@ -1,0 +1,68 @@
+"""Framing integrated into the pipeline (reference: per-server framing —
+newline TCP default, RFC6587 octet_counted option, config.json:17-25)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from punt_spark.config import default_config
+from punt_spark.pipeline import Pipeline
+from punt_spark.sink import sink_ddl
+
+LINE1 = "<13>Mar 14 04:00:00 h1 logs: first record"
+LINE2 = "<14>Mar 14 04:00:01 h1 logs: second record"
+
+
+def _table(spark, text_rows):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * len(text_rows),
+            "turn_idx": range(len(text_rows)),
+            "role": ["user"] * len(text_rows),
+            "text": text_rows,
+            "tool": ["none"] * len(text_rows),
+            "ts": pd.to_datetime(["2017-03-14 04:00:00"] * len(text_rows)).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+@pytest.mark.parametrize(
+    "mode,blob,expect_records",
+    [
+        ("newline", f"{LINE1}\n{LINE2}\n", 2),
+        ("octet", f"{len(LINE1)} {LINE1}{len(LINE2)} {LINE2}", 2),
+    ],
+)
+def test_pipeline_framing(spark, tmp_path, mode, blob, expect_records):
+    cfg = default_config()
+    pipe = Pipeline(
+        spark, cfg, out_dir=str(tmp_path / mode), frame_mode=mode,
+        collect_metrics=False,
+    )
+    pipe.run(_table(spark, [blob]))
+    out = pipe.sinks["sink_logs"].read(spark)
+    rows = sorted(
+        out.select("record_idx", "content").collect(),
+        key=lambda r: r["record_idx"],
+    )
+    assert len(rows) == expect_records
+    assert rows[0]["content"] == "first record"
+    assert rows[1]["content"] == "second record"
+
+
+def test_frame_mode_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="unknown frame_mode"):
+        Pipeline(spark, out_dir=str(tmp_path), frame_mode="bogus")
+
+
+def test_sink_ddl():
+    ddl = sink_ddl(default_config())
+    assert set(ddl) == {
+        "sink_catchall", "sink_logs", "sink_audit",
+        "sink_app-json", "sink_metrics-json",
+    }
+    assert "PARTITIONED BY (route_key, days(ts))" in ddl["sink_logs"]
+    assert "USING iceberg" in ddl["sink_logs"]
