@@ -62,23 +62,31 @@ def apply_lookup(
     key = cfg["on"]
     prefix = cfg.get("prefix", key)
     dim = lookups.get(key)
+    # The lookup mutator has a FIXED output contract, mirroring geoip's
+    # three fixed outputs (metro code / ISO country / geo-point,
+    # mutators.go:100-107): category:string, risk_code:int,
+    # coords:array<double>. A fixed contract keeps every sink's schema
+    # stable whether or not the dimension table is present.
+    contract = {
+        "category": "string",
+        "risk_code": "int",
+        "coords": "array<double>",
+    }
     if dim is None:
         # no dimension table registered: no-op with stable schema (null
         # outputs) — the column-level analog of the mutator's silent
         # missing-input no-op (mutators.go:90-93)
-        for c in ("category", "risk_code", "coords"):
-            df = df.withColumn(
-                f"{prefix}_{c}",
-                F.lit(None).cast(
-                    {"category": "string", "risk_code": "int",
-                     "coords": "array<double>"}[c]
-                ),
-            )
+        for c, typ in contract.items():
+            df = df.withColumn(f"{prefix}_{c}", F.lit(None).cast(typ))
         return df
-    value_cols = [c for c in dim.columns if c != key]
+    missing = [c for c in contract if c not in dim.columns]
+    if missing:
+        raise ValueError(
+            f"lookup dim for {key!r} lacks contract columns {missing}"
+        )
     renamed = dim.select(
         F.col(key),
-        *[F.col(c).alias(f"{prefix}_{c}") for c in value_cols],
+        *[F.col(c).cast(t).alias(f"{prefix}_{c}") for c, t in contract.items()],
     )
     return df.join(F.broadcast(renamed), on=key, how="left")
 

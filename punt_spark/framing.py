@@ -70,3 +70,24 @@ def frame_octet_counted(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("__records", _frame_octets_udf()(F.col(text_col))).select(
         "*", F.explode("__records").alias("record")
     ).drop("__records")
+
+
+def frame_records(
+    df: DataFrame, mode: str, text_col: str = "text"
+) -> DataFrame:
+    """Single framing entry point for the pipeline: replaces ``text_col``
+    with one framed record per row plus a ``record_idx`` sub-order column
+    (position within the original buffer). mode: "newline" | "octet".
+
+    Empty records are dropped, matching the buffer semantics
+    (buffer.go:88-95 returns only complete, non-empty lines)."""
+    if mode == "newline":
+        records = F.split(F.col(text_col), "\n")
+    elif mode == "octet":
+        records = _frame_octets_udf()(F.col(text_col))
+    else:
+        raise ValueError(f"unknown frame mode {mode!r}")
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        F.posexplode(records).alias("record_idx", text_col),
+    ).filter(F.col(text_col) != "")

@@ -173,18 +173,9 @@ class Pipeline:
             # framed record becomes its own row, sub-indexed by record_idx
             # so the (conv_id, turn_idx, record_idx) ordering stays stable.
             if self.frame_mode != "none":
-                if self.frame_mode == "newline":
-                    records = F.split(F.col("text"), "\n")
-                else:
-                    from .framing import _frame_octets_udf
+                from .framing import frame_records
 
-                    records = _frame_octets_udf()(F.col("text"))
-                gdf = (
-                    gdf.select(
-                        *[c for c in gdf.columns if c != "text"],
-                        F.posexplode(records).alias("record_idx", "text"),
-                    ).filter(F.col("text") != "")
-                )
+                gdf = frame_records(gdf, self.frame_mode, "text")
 
             parser = with_parsed_native if self.use_native_parse else with_parsed
             # Cache at the parse boundary: parse is the expensive stage (the

@@ -178,7 +178,13 @@ class SnapshotTable:
         files = [f for f in files if os.path.exists(f)]
         if not files:
             return None
-        df = spark.read.option("basePath", self.data_dir).parquet(*files)
+        df = (
+            spark.read.option("basePath", self.data_dir)
+            # snapshots may have evolved the schema (e.g. record_idx appears
+            # when framing is enabled mid-table) — merge, don't sample
+            .option("mergeSchema", "true")
+            .parquet(*files)
+        )
         return df.drop(*[c for c in _HIDDEN_COLS if c in df.columns])
 
     # -- maintenance ---------------------------------------------------------
@@ -227,22 +233,64 @@ class SnapshotTable:
         return expired
 
 
-def sink_ddl(cfg) -> dict[str, str]:
+def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
     """Per-sink CREATE TABLE DDL — the reference's startup index-template
     sync (R8, type.go:63-97) expressed as Iceberg DDL. On a real cluster
     these run once at pipeline init; the sandbox's manifest tables encode
-    the same spec implicitly."""
+    the same spec implicitly.
+
+    The column list is derived per type: transformer (direct keeps the
+    envelope; unpack-merge merges the payload and drops content;
+    unpack-take replaces the envelope) + mutator outputs + framing
+    sub-index — matching exactly what Pipeline._run_group writes.
+    """
+    meta = ["conv_id string", "turn_idx int"]
+    if frame_mode != "none":
+        meta.append("record_idx int")
+    meta += ["role string", "tool string", "turn_ts timestamp"]
+    envelope = [
+        "priority int", "ts timestamp", "hostname string", "tag string",
+        "pid int", "content string", "source string",
+    ]
+    stamps = [
+        "route_key string", "ts_day string",
+        "`@timestamp` string", "`punt-server` string",
+    ]
     out = {}
     for t in cfg.types.values():
+        payload = []
+        if t.payload_schema and not t.payload_schema.startswith("map<"):
+            payload = [
+                f"{f.strip()}" for f in t.payload_schema.split(",")
+            ]
+        if t.transformer == "direct":
+            cols = meta + envelope + stamps
+        elif t.transformer == "unpack-merge":
+            payload_names = {p.split()[0] for p in payload}
+            kept = [
+                e for e in envelope
+                if e.split()[0] != "content" and e.split()[0] not in payload_names
+            ]
+            cols = meta + kept + payload + stamps
+        else:  # unpack-take: payload replaces the envelope
+            cols = meta + payload + stamps
+        for m in t.mutators:
+            if m.name == "unixtime":
+                cols += [f"{o} string" for o in m.config["fields"].values()]
+            elif m.name in ("lookup", "geoip"):
+                p = m.config.get("prefix", m.config["on"])
+                cols += [
+                    f"{p}_category string",
+                    f"{p}_risk_code int",
+                    f"{p}_coords array<double>",
+                ]
+        body = ",\n  ".join(cols)
+        # identity partitioning on the stamp columns — matches the physical
+        # writes (unpack-take sinks have no envelope ts to apply days() to)
         out[t.sink_name] = (
-            f"CREATE TABLE IF NOT EXISTS {t.sink_name} (\n"
-            "  conv_id string, turn_idx int, role string, tool string,\n"
-            "  turn_ts timestamp, priority int, ts timestamp,\n"
-            "  hostname string, tag string, pid int, content string,\n"
-            "  source string, route_key string, ts_day string,\n"
-            "  `@timestamp` string, `punt-server` string\n"
+            f"CREATE TABLE IF NOT EXISTS `{t.sink_name}` (\n  {body}\n"
             ") USING iceberg\n"
-            "PARTITIONED BY (route_key, days(ts))\n"
+            "PARTITIONED BY (route_key, ts_day)\n"
             "TBLPROPERTIES ('write.target-file-size-bytes'='536870912',\n"
             f"  'comment'='punt type {t.name}: prefix={t.prefix} "
             f"transformer={t.transformer}')"
@@ -260,8 +308,8 @@ def salted_write_layout(
     df: DataFrame,
     n: int,
     salt_buckets: int,
-    salt_keys: tuple[str, ...] = ("conv_id", "turn_idx"),
-    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    salt_keys: tuple[str, ...] = ("conv_id", "turn_idx", "record_idx"),
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx", "record_idx"),
 ) -> DataFrame:
     """Arrange a frame for an efficient dynamic-partition write.
 
@@ -281,9 +329,11 @@ def salted_write_layout(
     The salt hashes (conv_id, turn_idx) — NOT conv_id alone: a single hot
     conversation would map every row to one salt value and stay unsplit
     (measured: a 70%-hot conv left a 1.07M-row straggler task with
-    conv-only salt; row-level salt caps tasks at ~n/buckets). Order is
-    still recoverable — the invariant is equality under (conv_id,
-    turn_idx) sort, and ``order_cols`` keeps runs clustered within files.
+    conv-only salt; row-level salt caps tasks at ~n/buckets). record_idx
+    joins the salt for the same reason: a framed blob explodes into many
+    rows sharing (conv_id, turn_idx). Order is still recoverable — the
+    invariant is equality under (conv_id, turn_idx[, record_idx]) sort,
+    and ``order_cols`` keeps runs clustered within files.
     """
     if not {"route_key", "ts_day"}.issubset(df.columns):
         return df.coalesce(max(1, n // 4))

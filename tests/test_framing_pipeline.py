@@ -58,11 +58,40 @@ def test_frame_mode_validation(spark, tmp_path):
         Pipeline(spark, out_dir=str(tmp_path), frame_mode="bogus")
 
 
-def test_sink_ddl():
-    ddl = sink_ddl(default_config())
+def test_sink_ddl(spark, tmp_path):
+    cfg = default_config()
+    ddl = sink_ddl(cfg)
     assert set(ddl) == {
         "sink_catchall", "sink_logs", "sink_audit",
         "sink_app-json", "sink_metrics-json",
     }
-    assert "PARTITIONED BY (route_key, days(ts))" in ddl["sink_logs"]
+    assert "PARTITIONED BY (route_key, ts_day)" in ddl["sink_logs"]
     assert "USING iceberg" in ddl["sink_logs"]
+    # per-type schemas: mutator outputs, merge drops content, take drops envelope
+    assert "tool_category string" in ddl["sink_audit"]
+    assert "content string" not in ddl["sink_app-json"]
+    assert "epoch_ts string" in ddl["sink_app-json"]
+    assert "hostname" not in ddl["sink_metrics-json"]
+    # DDL column set == what the pipeline actually writes (per sink)
+    from punt_spark.fixtures import make_transcripts
+    from punt_spark.pipeline import load_lookups
+
+    pdf = make_transcripts(800, seed=3)
+    pipe = Pipeline(
+        spark, cfg, out_dir=str(tmp_path / "ddlcheck"), collect_metrics=False
+    )
+    pipe.run(spark.createDataFrame(pdf))
+    import re
+
+    for sink_name, stmt in ddl.items():
+        df = pipe.sinks[sink_name].read(spark)
+        if df is None:
+            continue
+        col_block = stmt.split("(", 1)[1].split("\n) USING")[0]
+        ddl_cols = set(re.findall(r"^\s*`?([\w@-]+)`?\s+\w+", col_block, re.M))
+        written = set(df.columns)
+        missing_lookup_dims = {
+            c for c in ddl_cols - written if c.startswith(("tool_", "role_"))
+        }
+        assert ddl_cols - written - missing_lookup_dims == set(), sink_name
+        assert written - ddl_cols == set(), (sink_name, written - ddl_cols)

@@ -185,12 +185,21 @@ def test_unixtime_custom_format(spark):
 def test_lookup_mutator(spark):
     df = spark.createDataFrame([("grep",), ("unknown",)], "tool string")
     dim = spark.createDataFrame(
-        [("grep", "search", 10)], "tool string, category string, risk_code int"
+        [("grep", "search", 10, [1.0, 2.0])],
+        "tool string, category string, risk_code int, coords array<double>",
     )
     out = apply_lookup(df, {"on": "tool"}, {"tool": dim}).collect()
     rows = {r["tool"]: r for r in out}
     assert rows["grep"]["tool_category"] == "search"
     assert rows["unknown"]["tool_category"] is None  # left join = no-op
+    # dim absent → stable-schema no-op with the fixed geoip-style contract
+    out2 = apply_lookup(df, {"on": "tool"}, {})
+    assert {"tool_category", "tool_risk_code", "tool_coords"} <= set(out2.columns)
+    # dim violating the contract is a plan-time error (reference: missing
+    # GeoIP db fails config load, mutators.go:73-77)
+    bad = spark.createDataFrame([("grep", "x")], "tool string, owner string")
+    with pytest.raises(ValueError, match="contract columns"):
+        apply_lookup(df, {"on": "tool"}, {"tool": bad})
 
 
 # --- routing -----------------------------------------------------------------------------
