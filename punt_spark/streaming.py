@@ -129,6 +129,68 @@ class StreamingPipeline:
         return q
 
 
+def stateful_alert_windows(
+    stream: DataFrame,
+    match: str,
+    window_sec: int = 2,
+    source_field: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """EVENT-ALIGNED alert rollup windows via a custom stateful operator —
+    the reference's exact window semantics (alert.go:50-65: the FIRST
+    matching event opens the window; everything arriving within
+    rollup_window seconds piles in; then the window fires once), which
+    epoch-aligned ``F.window`` tumbling cannot express.
+
+    Implemented with ``applyInPandasWithState`` keyed by a constant alert
+    key: state = (open window start, count); a window is emitted as soon as
+    an event lands beyond its end. The trailing open window stays in state
+    until a later event closes it (a processing-time timeout would also
+    close it on a live stream, but a timeout keeps an AvailableNow drain
+    alive indefinitely — so flush-by-successor only). Demo-scale note: the
+    constant grouping key serializes this operator on one task — per
+    north_star there is one window state per alert (a handful), so this
+    matches the reference's one-goroutine-per-alert structure; it is not a
+    data-parallel path.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    matched = stream.filter(F.col(source_field).rlike(match)).select(
+        F.lit("alert").alias("k"), F.col(ts_col).alias("ts")
+    )
+
+    out_schema = "window_start timestamp, n_events int"
+    state_schema = "start long, n int"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd  # noqa: F811
+
+        rows = []
+        start, n = state.get if state.exists else (None, 0)
+        events = []
+        for pdf in pdfs:
+            events.extend(int(t.value // 1_000_000_000) for t in pd.to_datetime(pdf["ts"]))
+        for t in sorted(events):
+            if start is None:
+                start, n = t, 1
+            elif t < start + window_sec:
+                n += 1
+            else:
+                rows.append((pd.Timestamp(start, unit="s"), n))
+                start, n = t, 1
+        if start is not None:
+            state.update((start, n))
+        yield pd.DataFrame(rows, columns=["window_start", "n_events"])
+
+    return matched.groupBy("k").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_alert_counts(
     stream: DataFrame,
     match: str,

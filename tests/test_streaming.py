@@ -68,3 +68,50 @@ def test_streaming_alert_window(spark, stream_input, tmp_path):
     want = spark.read.parquet(stream_input).filter(F.col("text").rlike("magic")).count()
     assert got == want
     assert got > 0
+
+
+def test_stateful_event_aligned_windows(spark, tmp_path):
+    """Event-aligned windows (first match opens the window) — differs from
+    epoch-aligned tumbling when matches straddle an epoch boundary."""
+    import pandas as pd
+    from punt_spark.streaming import stateful_alert_windows
+
+    # events at t=1.0, 2.5, 10.0 with 2s windows:
+    # event-aligned → [1.0: {1.0, 2.5}], [10.0: {10.0}]
+    # (epoch tumbling would give three windows: [0,2), [2,4), [10,12))
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["user"] * 3,
+            "text": ["magic a", "magic b", "magic c"],
+            "tool": ["none"] * 3,
+            "ts": pd.to_datetime(
+                ["2017-01-01 00:00:01.000000", "2017-01-01 00:00:02.500000",
+                 "2017-01-01 00:00:10.000000"]
+            ).astype("datetime64[us]"),
+        }
+    )
+    src = str(tmp_path / "stateful_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    ).parquet(src)
+    agg = stateful_alert_windows(stream, match="magic", window_sec=2)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_windows")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.sql("select * from stateful_windows").collect()
+    }
+    # the completed first window must be emitted (the trailing open window
+    # stays in state until a later event closes it)
+    assert ("2017-01-01 00:00:01", 2) in got
