@@ -244,6 +244,48 @@ def q_simhash(spark, sf_dir):
     return with_simhash(d).select("doc_id", "simhash")
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.2): explode distinct
+    3-gram shingles → self-join on shingle → |A∩B| / (|A|+|B|-|A∩B|)."""
+    sh = _shingled(spark, sf_dir).select("doc_id", "shingle").distinct()
+    sh = sh.withColumnRenamed("shingle", "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("nb"))
+    jacc = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jacc >= 0.2)  # filter on the raw value, round only for output
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard_r"))
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    """Quality-gate filtering: retained doc_ids under length / punctuation /
+    stopword thresholds (the curation filter op)."""
+    d = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("double")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[.,!?;]"), 0)).cast(
+        "double"
+    )
+    keep = (
+        (n_chars >= 50)
+        & (n_tokens >= 10)
+        & (n_punct / n_chars <= 0.05)
+    )
+    return d.filter(keep).select("doc_id")
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup via hash-groupBy (md5 of raw text)."""
     d = _t(spark, sf_dir, "documents")
@@ -442,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_topk": q_retention_topk,
         "tag_metrics": q_tag_metrics,
         "lookup_enrich": q_lookup_enrich,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality_filter": q_quality_filter,
         "sessionize": q_sessionize,
         "turn_ordering_digest": q_turn_ordering_digest,
         "dedup_keep_first": q_dedup_keep_first,
@@ -571,6 +615,31 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(event_id AS VARCHAR), ','
                               ORDER BY ts, event_id) AS event_seq
             FROM events GROUP BY user_id
+        """,
+        "ngram_jaccard": f"""
+            {_SHINGLE_CTE},
+            ds AS (SELECT DISTINCT doc_id, shingle AS s FROM sh),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS n_inter
+                FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(i.n_inter /
+                         (sa.sz + sb.sz - i.n_inter), 4) AS jaccard_r
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE i.n_inter / (sa.sz + sb.sz - i.n_inter) >= 0.2
+        """,
+        "quality_filter": """
+            SELECT doc_id FROM documents
+            WHERE length(text) >= 50
+              AND len(string_split_regex(trim(text), '\\s+')) >= 10
+              AND len(regexp_extract_all(text, '[.,!?;]'))
+                  / CAST(length(text) AS DOUBLE) <= 0.05
         """,
         "dedup_keep_first": """
             SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,

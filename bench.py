@@ -206,7 +206,11 @@ def time_op_queries(sf_dir: str) -> dict[str, float]:
 
 def main() -> int:
     sf = _sf_from_dir(SF_DIR)
-    fixtures_path, n_rows = ensure_transcripts(sf)
+    # Headline pipeline input: at least 2.4M turns so the measurement is
+    # sustained throughput rather than fixed job-scheduling overhead (the
+    # transcript table is synthesized per the north rule; sf scales it up).
+    n_target = max(int(TURNS_PER_SF * sf), 2_400_000)
+    fixtures_path, n_rows = ensure_transcripts(n_target)
     core_path, core_n = ensure_transcripts(CORE_TURNS)
 
     queries = time_op_queries(SF_DIR)
