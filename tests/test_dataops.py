@@ -256,3 +256,51 @@ def test_multimodal_real_mode_is_stubbed(spark):
     media = multimodal.synth_media_df(spark, n=3)
     with pytest.raises(Exception, match="NotImplementedError|real codec"):
         multimodal.extract_features(media, decode_mode="real").collect()
+
+
+# --- corpus curation (composed pipeline) -------------------------------------------------
+
+
+def test_curate_corpus_synthetic(spark):
+    from punt_spark.dataops.curation import curate_corpus
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the quick brown fox jumps over the lazy cat near the river bank today"),  # near-dup of 0
+        (2, "completely different high quality document about spark partitions and shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+        (4, "x"),  # low quality (too short)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(docs, min_quality=0.5, near_dup_threshold=0.5)
+    retained = {r["doc_id"] for r in out["retained"].select("doc_id").collect()}
+    removed = {
+        r["doc_id"]: r["reason"] for r in out["removed"].collect()
+    }
+    assert retained == {0, 2}
+    assert removed[4] == "low_quality"
+    assert removed[3] == "exact_dup"
+    assert removed[1] == "near_dup"
+    stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
+    assert stats["retained"] == 2
+    # accounting is total: every doc is retained or removed exactly once
+    assert sum(stats.values()) == len(rows)
+
+
+def test_dataops_on_real_documents_table(spark):
+    """The full dataops surface runs on the driver's real documents table
+    (shape check — oracles cover values in test_entry_oracle)."""
+    from punt_spark.dataops import textstats
+    from punt_spark.dataops.curation import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    enriched = textstats.with_fingerprint(
+        textstats.with_quality(textstats.with_token_counts(docs))
+    )
+    row = enriched.limit(1).collect()[0]
+    assert row["n_ws_tokens"] > 0 and 0 <= row["quality_score"] <= 1
+    out = curate_corpus(docs, min_quality=0.3, near_dup_threshold=0.8)
+    stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
+    assert sum(stats.values()) == n
+    assert stats.get("retained", 0) > 0
