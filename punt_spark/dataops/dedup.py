@@ -315,3 +315,87 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+# --- transitive duplicate clusters ---------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the duplicate-pair graph → (id, cluster_id)
+    with cluster_id = min id in the component.
+
+    One-pass pair dedup misses transitivity (A~B, B~C but A≁C still form one
+    group). This is the iterative min-label propagation algorithm: each
+    round every node adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds. Iterations are
+    localCheckpoint()ed so the plan doesn't grow with rounds — at web scale
+    this is the standard large-graph CC pattern (label exchange = one
+    shuffle per round over the EDGES, never materializing components).
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def minhash_dedup_keep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup dedup with TRANSITIVE closure: verified pairs → connected
+    components → keep the min-id representative of each cluster."""
+    from pyspark.sql import functions as F
+
+    pairs = minhash_dedup(df, text_col, id_col, num_hashes, bands, threshold)
+    clusters = dup_clusters(pairs)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

