@@ -69,6 +69,10 @@ def matched_events(
         return None
     if alert.source_field not in df.columns:
         return None
+    # unpack-take types drop the envelope; without the ts column there is
+    # nothing to window on — same silent no-op as a missing source field.
+    if ts_col not in df.columns:
+        return None
     matched = df.filter(F.col(alert.source_field).rlike(alert.match))
     cols = df.columns
     out = matched.select(

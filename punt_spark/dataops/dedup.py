@@ -190,15 +190,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All-pairs Jaccard over docs sharing ≥1 shingle: explode → self-join on
-    shingle → |A∩B| counts → Jaccard. One shuffle on the shingle key; at
-    scale, shingle frequency capping (stop-shingles) bounds the join."""
+    shingle → |A∩B| counts → Jaccard. One shuffle on the shingle key.
+
+    ``max_df`` is the stop-shingle cap: shingles appearing in more than
+    ``max_df`` documents are excluded from the CANDIDATE join (a single
+    boilerplate shingle shared by n docs otherwise creates an O(n²) join
+    blow-up — the same guard as ``lsh_candidate_pairs``' ``max_bucket``).
+    Set sizes are still computed over the FULL shingle sets so the Jaccard
+    denominator stays exact; only the intersection counts become a lower
+    bound when capping drops a genuinely shared hot shingle, making the
+    result a (conservative) high-precision candidate set at scale. With
+    ``max_df=None`` the result is exact."""
     sh = (
         with_shingles(df, text_col, shingle_n)
         .select(F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s"))
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")
     inter = (
@@ -222,6 +240,43 @@ def ngram_jaccard_pairs(
 
 
 # --- SimHash -------------------------------------------------------------------
+
+
+def simhash16_native(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Oracle-checkable 16-bit SimHash, 100% native column expressions.
+
+    Token bits come from the first 4 hex chars of md5(token) — the shared
+    deterministic hash between Spark and DuckDB — so an ANSI-SQL oracle can
+    reproduce the value exactly. Per-row ``aggregate()`` over the distinct
+    token array accumulates the 16 bit votes WITHOUT exploding tokens:
+    zero shuffles, stays inside whole-stage codegen, scales linearly.
+    (The 64-bit blake2b variant in ``with_simhash`` has better collision
+    behavior for production near-dup; this one exists so the correctness
+    gate can value-check simhash semantics end-to-end.)
+    """
+    hv = F.expr(
+        "transform(array_distinct(split(lower(trim("
+        + text_col
+        + ")), '\\\\s+')),"
+        " t -> cast(conv(substring(md5(cast(t as binary)), 1, 4), 16, 10)"
+        " as int))"
+    )
+    d = df.withColumn("__hv", hv)
+    votes = [
+        F.expr(
+            f"aggregate(__hv, 0, (acc, h) -> acc +"
+            f" (CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        ).alias(f"__v{b}")
+        for b in range(16)
+    ]
+    d = d.select(F.col(id_col), *votes)
+    sig = None
+    for b in range(16):
+        term = F.when(F.col(f"__v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return d.select(F.col(id_col), sig.cast("bigint").alias("simhash16"))
 
 
 def _simhash_batch(texts: pd.Series, bits: int = 64) -> pd.Series:

@@ -72,10 +72,12 @@ def apply_lookup(
         "risk_code": "int",
         "coords": "array<double>",
     }
-    if dim is None:
-        # no dimension table registered: no-op with stable schema (null
-        # outputs) — the column-level analog of the mutator's silent
-        # missing-input no-op (mutators.go:90-93)
+    if dim is None or key not in df.columns:
+        # No dimension table registered, or the key column itself is absent
+        # from this type's payload (e.g. an envelope column under an
+        # unpack-take transform): no-op with stable schema (null outputs) —
+        # the column-level analog of the mutator's silent missing-input
+        # no-op (mutators.go:90-93).
         for c, typ in contract.items():
             df = df.withColumn(f"{prefix}_{c}", F.lit(None).cast(typ))
         return df

@@ -77,6 +77,26 @@ def test_lsh_bucket_cap(docs):
     assert dedup.lsh_candidate_pairs(sig, max_bucket=1).count() == 0
 
 
+def test_ngram_stop_shingle_cap(spark):
+    # One hot shingle ("aa bb cc") shared by ALL docs plus a genuinely
+    # near-dup pair. Uncapped: every pair is a candidate via the hot
+    # shingle. With max_df=2 the hot shingle is dropped from the join, so
+    # only the pair sharing rare shingles survives — bounded candidates.
+    hot = "aa bb cc"
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i}") for i in range(8)]
+    rows.append((8, "xx yy zz ww vv uu"))
+    rows.append((9, "xx yy zz ww vv tt"))  # near-dup of 8, no hot shingle
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.01).toPandas()
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_df=2).toPandas()
+    assert len(uncapped) >= 28  # C(8,2) hot-shingle pairs + the near-dup
+    got = {(r.id_a, r.id_b) for r in capped.itertuples()}
+    assert got == {(8, 9)}  # hot-shingle candidates eliminated
+    # exact Jaccard preserved for the surviving pair (full set sizes)
+    j = capped.set_index(["id_a", "id_b"]).loc[(8, 9), "jaccard"]
+    assert abs(j - _py_jaccard(rows[8][1], rows[9][1])) < 1e-9
+
+
 # --- SimHash ----------------------------------------------------------------------
 
 
@@ -92,6 +112,32 @@ def test_simhash_pairs(docs):
     pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=0).toPandas()
     got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
     assert got == {(0, 3)}
+
+
+def _py_simhash16(text: str) -> int:
+    import hashlib
+
+    toks = []
+    for t in text.lower().strip().split():
+        if t not in toks:
+            toks.append(t)
+    votes = [0] * 16
+    for t in toks:
+        hv = int(hashlib.md5(t.encode()).hexdigest()[:4], 16)
+        for b in range(16):
+            votes[b] += 1 if (hv >> b) & 1 else -1
+    return sum(1 << b for b in range(16) if votes[b] > 0)
+
+
+def test_simhash16_native_matches_python(docs):
+    got = (
+        dedup.simhash16_native(docs)
+        .toPandas()
+        .set_index("doc_id")["simhash16"]
+    )
+    for i, text in DOCS:
+        assert got[i] == _py_simhash16(text), f"doc {i}"
+    assert got[0] == got[3]  # exact dup → identical signature
 
 
 # --- similarity --------------------------------------------------------------------

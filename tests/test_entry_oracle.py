@@ -50,8 +50,9 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 
 def test_oracle_covers_queries():
-    # every query has an oracle except documented rows-only ops
-    assert set(ROWS_ONLY) == {"simhash"}
+    # every query has an oracle (simhash gained one in round 2 via the
+    # 16-bit md5-nibble formulation)
+    assert ROWS_ONLY == []
     assert set(entrymod.oracle_sql()) <= set(entrymod.queries())
 
 
@@ -68,6 +69,15 @@ def test_query_matches_oracle(spark, duck, name):
     want = _norm(duck.execute(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns), f"{name}: schema"
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    # The driver's value hash is TYPE-sensitive (int 123 vs float 123.0 hash
+    # differently, e.g. DuckDB HUGEINT sums landing as float64). Assert dtype
+    # kinds match post-normalization so local runs catch exactly that.
+    got_kinds = {c: got[c].dtype.kind for c in got.columns}
+    want_kinds = {c: want[c].dtype.kind for c in want.columns}
+    assert got_kinds == want_kinds, (
+        f"{name}: dtype-kind mismatch {got_kinds} vs {want_kinds} — "
+        "cast the oracle aggregate (HUGEINT→float64?) or the Spark column"
+    )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, obj=name)
 
 

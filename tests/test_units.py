@@ -200,6 +200,12 @@ def test_lookup_mutator(spark):
     bad = spark.createDataFrame([("grep", "x")], "tool string, owner string")
     with pytest.raises(ValueError, match="contract columns"):
         apply_lookup(df, {"on": "tool"}, {"tool": bad})
+    # key column absent from the frame (envelope column under unpack-take):
+    # silent stable-schema no-op, NOT an AnalysisException (mutators.go:90-93)
+    no_key = spark.createDataFrame([("x",)], "other string")
+    out3 = apply_lookup(no_key, {"on": "tool"}, {"tool": dim})
+    assert {"tool_category", "tool_risk_code", "tool_coords"} <= set(out3.columns)
+    assert out3.collect()[0]["tool_category"] is None
 
 
 # --- routing -----------------------------------------------------------------------------
@@ -256,3 +262,26 @@ def test_render_template(spark):
         render_template("hello {name} x{n}{missing}!", df.columns).alias("r")
     ).collect()
     assert out[0]["r"] == "hello world x5!"
+
+
+def test_matched_events_missing_ts_is_noop(spark):
+    from punt_spark.alerts import matched_events
+    from punt_spark.config import AlertConfig
+
+    alert = AlertConfig(
+        name="a", match="x", source_field="content",
+        title="t", description="d",
+    )
+    # unpack-take payload that kept the source field but dropped the
+    # envelope ts: alert is a silent no-op, not an AnalysisException
+    df = spark.createDataFrame([("x marks",)], "content string")
+    assert matched_events(df, alert, "logs") is None
+    # with ts present it matches normally
+    import datetime
+
+    df2 = spark.createDataFrame(
+        [("x marks", datetime.datetime(2017, 1, 1))],
+        "content string, ts timestamp",
+    )
+    out = matched_events(df2, alert, "logs")
+    assert out is not None and out.count() == 1
