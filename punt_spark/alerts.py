@@ -89,14 +89,34 @@ def matched_events(
 
 
 def rollup(events: DataFrame, alert: AlertConfig) -> DataFrame:
-    """Global tumbling-window rollup of one alert's event frame."""
+    """Global tumbling-window rollup of one alert's event frame.
+
+    ``rollup_window == 0`` means NO rollup in the reference — the action
+    fires once per matched event (alert.go:50-63) — so each event becomes
+    its own single-event "window" (start = end = the event time).
+
+    ``first_ts`` is the first rolled-up event's envelope timestamp — the
+    reference renders it into the embed (action.go:109,
+    ``infos[0].Log["timestamp"]``)."""
+    field_names = [f"field_{k}" for k in alert.fields]
+    if alert.rollup_window_sec == 0:
+        return events.select(
+            F.lit(alert.name).alias("alert_name"),
+            F.col("ts").alias("window_start"),
+            F.col("ts").alias("window_end"),
+            F.lit(1).cast("long").alias("n_events"),
+            F.col("title"),
+            F.col("description"),
+            F.col("ts").alias("first_ts"),
+            *field_names,
+        )
     w = F.window(F.col("ts"), f"{alert.rollup_window_sec} seconds")
     first_by_ts = lambda c: F.min_by(c, F.col("ts"))  # noqa: E731
-    field_names = [f"field_{k}" for k in alert.fields]
     agg = events.groupBy(w.alias("w")).agg(
         F.count(F.lit(1)).alias("n_events"),
         first_by_ts(F.col("title")).alias("__title"),
         first_by_ts(F.col("description")).alias("description"),
+        F.min("ts").alias("first_ts"),
         *[first_by_ts(F.col(f)).alias(f) for f in field_names],
     )
     rendered_title = F.when(
@@ -115,8 +135,76 @@ def rollup(events: DataFrame, alert: AlertConfig) -> DataFrame:
         F.col("n_events"),
         rendered_title.alias("title"),
         F.col("description"),
+        F.col("first_ts"),
         *field_names,
     )
+
+
+# Go time.RFC3339 renders UTC instants with a literal "Z" (action.go:109).
+RFC3339_UTC_FORMAT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+
+def render_actions(
+    rolled: DataFrame,
+    alerts: list[AlertConfig],
+    actions: dict,
+) -> DataFrame | None:
+    """Render rolled-up alert windows into action payload rows — the batch
+    analog of ``Action.Run`` firing the Discord webhook per flushed window
+    (action.go:105-122, wired via ``state.Alerts[name].Action``,
+    alert.go:77-84).
+
+    One row per (flushed window × its alert's action), embed-shaped:
+    title (already carrying the reference's ``" (N similar events)"``
+    suffix, N = n_events-1 — action.go:113-115), description, color and
+    webhook url from the ActionConfig, timestamp = RFC3339 of the FIRST
+    event's envelope ts (action.go:109), and the first event's rendered
+    fields as a JSON array of ``{name, value, inline:false}`` objects
+    (action.go:117-119, Embed.AddField)."""
+    frames = []
+    for a in alerts:
+        act = actions.get(a.action)
+        if act is None:
+            continue
+        sub = rolled.filter(F.col("alert_name") == a.name)
+        field_structs = [
+            F.struct(
+                F.lit(k).alias("name"),
+                F.coalesce(F.col(f"field_{k}"), F.lit("")).alias("value"),
+                F.lit(False).alias("inline"),
+            )
+            for k in a.fields
+            if f"field_{k}" in rolled.columns
+        ]
+        fields_json = (
+            F.to_json(F.array(*field_structs))
+            if field_structs
+            else F.lit("[]")
+        )
+        frames.append(
+            sub.select(
+                "alert_name",
+                F.lit(act.name).alias("action_name"),
+                F.lit(act.type).alias("action_type"),
+                "window_start",
+                "window_end",
+                "n_events",
+                "title",
+                "description",
+                F.lit(act.url).alias("url"),
+                F.lit(act.color).cast("long").alias("color"),
+                F.date_format("first_ts", RFC3339_UTC_FORMAT).alias(
+                    "timestamp"
+                ),
+                fields_json.alias("fields_json"),
+            )
+        )
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def rollup_all(

@@ -75,6 +75,22 @@ class MutatorConfig:
 
 
 @dataclass
+class ActionConfig:
+    """A rendered alert action (reference: lib/punt/action.go:42-122).
+
+    The reference's only implementation is the Discord webhook embed
+    renderer (``NewDiscordWebhookAction``, action.go:77-122); we render the
+    same embed payload into rows of an ``actions`` output table instead of
+    POSTing — the batch analog of firing the webhook.
+    """
+
+    name: str
+    type: str = "discord"
+    url: str = ""
+    color: int = 0
+
+
+@dataclass
 class AlertConfig:
     """A match alert + rollup window (reference: lib/punt/alert.go:96-130)."""
 
@@ -86,6 +102,7 @@ class AlertConfig:
     description: str = ""
     fields: dict[str, str] = field(default_factory=dict)
     sources: list[str] = field(default_factory=list)  # type names; [] = all
+    action: str = ""  # ActionConfig name to fire on rollup flush (alert.go:45)
 
 
 @dataclass
@@ -126,6 +143,7 @@ class GCConfig:
 class PipelineConfig:
     types: dict[str, TypeConfig] = field(default_factory=dict)
     alerts: list[AlertConfig] = field(default_factory=list)
+    actions: dict[str, ActionConfig] = field(default_factory=dict)
     gc: list[GCConfig] = field(default_factory=list)
     # Execution knobs (reference: num_workers/bulk_size/commit_interval —
     # config.json:5-7). In Spark these become partition counts / file sizes.
@@ -175,10 +193,20 @@ class PipelineConfig:
                     description=cfg.get("description", ""),
                     fields=cfg.get("fields", {}),
                     sources=a.get("sources", []),
+                    action=a.get("action", ""),
                 )
             )
+        actions = {}
+        for name, ac in raw.get("actions", {}).items():
+            acfg = ac.get("config", {})
+            actions[name] = ActionConfig(
+                name=name,
+                type=ac.get("type", "discord"),
+                url=acfg.get("url", ""),
+                color=int(acfg.get("color", 0)),
+            )
         gc = [GCConfig(prefix=p, keep=g["keep"]) for p, g in raw.get("gc", {}).items()]
-        return cls(types=types, alerts=alerts, gc=gc)
+        return cls(types=types, alerts=alerts, actions=actions, gc=gc)
 
 
 def default_config() -> PipelineConfig:
@@ -219,7 +247,16 @@ def default_config() -> PipelineConfig:
                 title="FOUND MAGIC",
                 description="{content}",
                 fields={"hostname": "{hostname}"},
+                action="discord-alert",
             )
         ],
+        actions={
+            "discord-alert": ActionConfig(
+                name="discord-alert",
+                type="discord",
+                url="https://example.invalid/webhook",
+                color=16738657,  # reference config.json:92
+            )
+        },
         gc=[GCConfig(prefix="test-", keep=1), GCConfig(prefix="logs-", keep=5)],
     )

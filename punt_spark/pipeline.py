@@ -37,7 +37,7 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .alerts import matched_events, rollup_all
+from .alerts import matched_events, render_actions, rollup_all
 from .config import PipelineConfig, TypeConfig, default_config
 from .enrich import apply_mutators
 from .metrics import MetricsCollector
@@ -83,6 +83,7 @@ class Pipeline:
         }
         self.errors_table = SnapshotTable(os.path.join(out_dir, "errors"))
         self.alerts_table = SnapshotTable(os.path.join(out_dir, "alerts"))
+        self.actions_table = SnapshotTable(os.path.join(out_dir, "actions"))
         self._routes = routes_df(spark, self.cfg)
 
     # -- resume bookkeeping ----------------------------------------------------
@@ -318,10 +319,18 @@ class Pipeline:
 
                 all_alerts = rollup_all(alert_events, cfg.alerts)
                 if all_alerts is not None:
+                    # The rollups feed two commits — cache so the second
+                    # (actions render) doesn't recompute the window agg.
+                    all_alerts = all_alerts.coalesce(4).cache()
                     self.alerts_table.commit(
-                        all_alerts.coalesce(4), snapshot_id=gid,
-                        partition_cols=[],
+                        all_alerts, snapshot_id=gid, partition_cols=[],
                     )
+                    acts = render_actions(all_alerts, cfg.alerts, cfg.actions)
+                    if acts is not None:
+                        self.actions_table.commit(
+                            acts, snapshot_id=gid, partition_cols=[],
+                        )
+                    all_alerts.unpersist()
             finally:
                 cached.unpersist()
 

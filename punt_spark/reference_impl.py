@@ -177,39 +177,77 @@ def run_reference(
     # alert rollup: event-time tumbling windows (epoch-aligned, like
     # F.window), first event per window renders title/description
     alerts_out: list[dict] = []
+    actions_out: list[dict] = []
     for a in cfg.alerts:
         evs = sorted(alert_events[a.name], key=lambda e: e["ts"])
         windows: dict[datetime, list[dict]] = {}
         w = a.rollup_window_sec
         for e in evs:
+            if w == 0:  # no rollup: fire per event (alert.go:60-63)
+                windows.setdefault(e["ts"], []).append(e)
+                continue
             epoch = int(e["ts"].replace(tzinfo=timezone.utc).timestamp())
             start = datetime.utcfromtimestamp(epoch - epoch % w)
             windows.setdefault(start, []).append(e)
+        act = cfg.actions.get(a.action) if hasattr(cfg, "actions") else None
         for start, group in sorted(windows.items()):
             first = group[0]["payload"]
             title = _render(a.title, first)
             if len(group) > 1:
                 title += f" ({len(group) - 1} similar events)"
-            alerts_out.append(
-                {
-                    "alert_name": a.name,
-                    "window_start": start,
-                    "window_end": start + timedelta(seconds=w),
-                    "n_events": len(group),
-                    "title": title,
-                    "description": _render(a.description, first),
-                    **{
-                        f"field_{k}": _render(v, first)
-                        for k, v in a.fields.items()
-                    },
-                }
-            )
+            row = {
+                "alert_name": a.name,
+                "window_start": start,
+                "window_end": start + timedelta(seconds=w),
+                "n_events": len(group),
+                "title": title,
+                "description": _render(a.description, first),
+                "first_ts": group[0]["ts"],
+                **{
+                    f"field_{k}": _render(v, first)
+                    for k, v in a.fields.items()
+                },
+            }
+            alerts_out.append(row)
+            if act is not None:
+                # Action.Run embed payload (action.go:105-122): first
+                # event's title/description/fields, action's color/url,
+                # RFC3339 timestamp of infos[0].Log["timestamp"].
+                fields = [
+                    {
+                        "name": k,
+                        "value": _render(v, first),
+                        "inline": False,
+                    }
+                    for k, v in a.fields.items()
+                ]
+                actions_out.append(
+                    {
+                        "alert_name": a.name,
+                        "action_name": act.name,
+                        "action_type": act.type,
+                        "window_start": start,
+                        "window_end": start + timedelta(seconds=w),
+                        "n_events": len(group),
+                        "title": title,
+                        "description": _render(a.description, first),
+                        "url": act.url,
+                        "color": act.color,
+                        "timestamp": group[0]["ts"].strftime(
+                            "%Y-%m-%dT%H:%M:%SZ"
+                        ),
+                        "fields_json": json.dumps(
+                            fields, separators=(",", ":")
+                        ),
+                    }
+                )
 
     return {
         "sinks": sinks,
         "errors": errors,
         "counters": dict(counters),
         "alerts": alerts_out,
+        "actions": actions_out,
     }
 
 

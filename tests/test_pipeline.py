@@ -161,6 +161,22 @@ def test_alerts_rollup(spark, run):
     assert len(spark_pdf) > 0, "fixtures should trigger the magic alert"
 
 
+def test_actions_rendered(spark, run):
+    """Embed payload rows ≡ the oracle's Action.Run rendering
+    (action.go:105-122): title w/ N-1 suffix, description, color/url from
+    the ActionConfig, RFC3339 first-event timestamp, fields array."""
+    pipe, result, oracle, cfg = run
+    adf = pipe.actions_table.read(spark)
+    spark_pdf = adf.toPandas() if adf is not None else pd.DataFrame()
+    _compare(
+        spark_pdf, oracle["actions"], ["alert_name", "window_start"],
+        ctx="actions",
+    )
+    assert len(spark_pdf) > 0, "wired action should fire"
+    for _, r in spark_pdf[spark_pdf.n_events > 1].iterrows():
+        assert r.title.endswith(f"({r.n_events - 1} similar events)")
+
+
 def test_turn_ordering_invariant(spark, run):
     """Per-turn text (content) equality under stable (conv_id, turn_idx)
     ordering, checked per conversation via sort-then-concat."""

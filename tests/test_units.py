@@ -38,9 +38,11 @@ def test_config_from_json(tmp_path):
                     "payload_schema": "a string",
                     "mutators": [{"name": "unixtime", "config": {"fields": {"a": "b"}}}]}},
          "gc": {"logs-": {"keep": 5}},
-         "alerts": {"m": {"type": "match", "rollup_window": 2,
+         "alerts": {"m": {"type": "match", "rollup_window": 2, "action": "d",
                     "config": {"source": "content", "match": "^x",
-                               "title": "T", "description": "{content}", "fields": {}}}}}
+                               "title": "T", "description": "{content}", "fields": {}}}},
+         "actions": {"d": {"type": "discord",
+                    "config": {"url": "http://h", "color": 16738657}}}}
         """
     )
     cfg = PipelineConfig.from_json(str(p))
@@ -49,6 +51,10 @@ def test_config_from_json(tmp_path):
     assert cfg.types["logs"].mutators[0].name == "unixtime"
     assert cfg.gc[0].keep == 5
     assert cfg.alerts[0].match == "^x"
+    # actions parsed + wired (reference config.json:87-95, state.go:34-37)
+    assert cfg.alerts[0].action == "d"
+    assert cfg.actions["d"].url == "http://h"
+    assert cfg.actions["d"].color == 16738657
 
 
 # --- framing (buffer_test.go goldens) ------------------------------------------
@@ -262,6 +268,53 @@ def test_render_template(spark):
         render_template("hello {name} x{n}{missing}!", df.columns).alias("r")
     ).collect()
     assert out[0]["r"] == "hello world x5!"
+
+
+def test_action_embed_rendering(spark):
+    """Pin the embed payload against action.go:105-122: 3 events in one
+    2s window → title suffixed ' (2 similar events)' (N-1 rule), timestamp
+    = RFC3339-Z of the FIRST event, fields from the first event, and a
+    rollup_window=0 alert fires once per event un-suffixed."""
+    import datetime
+
+    from punt_spark.alerts import render_actions, rollup
+    from punt_spark.config import ActionConfig, AlertConfig
+
+    t0 = datetime.datetime(2017, 3, 14, 4, 0, 0)
+    events = spark.createDataFrame(
+        [
+            ("a", t0, "T-first", "D-first", "h1"),
+            ("a", t0 + datetime.timedelta(seconds=1), "T-2", "D-2", "h2"),
+            ("a", t0 + datetime.timedelta(milliseconds=1500), "T-3", "D-3", "h3"),
+        ],
+        "alert_name string, ts timestamp, title string, description string,"
+        " field_hostname string",
+    )
+    alert = AlertConfig(
+        name="a", rollup_window_sec=2, title="ignored",
+        description="ignored", fields={"hostname": "{hostname}"},
+        action="disc",
+    )
+    actions = {"disc": ActionConfig(name="disc", url="http://x", color=16738657)}
+    rolled = rollup(events, alert)
+    out = render_actions(rolled, [alert], actions).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["title"] == "T-first (2 similar events)"  # N-1 = 2
+    assert r["description"] == "D-first"
+    assert r["color"] == 16738657 and r["url"] == "http://x"
+    assert r["timestamp"] == "2017-03-14T04:00:00Z"  # RFC3339, first event
+    assert r["fields_json"] == '[{"name":"hostname","value":"h1","inline":false}]'
+    # rollup_window=0: one un-suffixed action per event (alert.go:60-63)
+    alert0 = AlertConfig(
+        name="a", rollup_window_sec=0, title="x", description="y",
+        fields={"hostname": "{hostname}"}, action="disc",
+    )
+    out0 = render_actions(rollup(events, alert0), [alert0], actions).collect()
+    assert len(out0) == 3
+    assert all(not r["title"].endswith("similar events)") for r in out0)
+    # alert with no wired action renders nothing (state.Actions lookup miss)
+    assert render_actions(rolled, [AlertConfig(name="a")], actions) is None
 
 
 def test_matched_events_missing_ts_is_noop(spark):
