@@ -99,7 +99,13 @@ def _fresh_session(threads: int, name: str):
     )
 
 
-def run_pipeline_once(threads: int, fixtures_path: str, n_rows: int) -> dict:
+def run_pipeline_once(
+    threads: int, fixtures_path: str, n_rows: int, collect_metrics: bool = True
+) -> dict:
+    """Full pipeline run. Metrics+lineage collection is ON by default —
+    the north_rule requires per-partition lineage + metrics recorded, so
+    the HEADLINE number includes them (they cost one fused aggregation job
+    per group + parquet-footer reads; see pipeline._record_group_stats)."""
     from punt_spark.pipeline import Pipeline, load_lookups
 
     spark = _fresh_session(threads, f"punt_bench_pipe_{threads}")
@@ -112,7 +118,7 @@ def run_pipeline_once(threads: int, fixtures_path: str, n_rows: int) -> dict:
             spark,
             out_dir=out_dir,
             lookups=load_lookups(spark, fixtures_path),
-            collect_metrics=False,
+            collect_metrics=collect_metrics,
         )
         t0 = time.monotonic()
         pipe.run(transcripts, resume=False)
@@ -125,6 +131,7 @@ def run_pipeline_once(threads: int, fixtures_path: str, n_rows: int) -> dict:
         "threads": threads,
         "wall_sec": round(wall, 2),
         "turns_per_sec": round(n_rows / wall, 1),
+        "metrics": "on" if collect_metrics else "off",
     }
 
 
@@ -226,6 +233,10 @@ def main() -> int:
     pipe_eff = (
         pipe_high["turns_per_sec"] / pipe_low["turns_per_sec"]
     ) / (CPUS / LOW_CPUS)
+    # control: same run without metrics, to evidence the collection overhead
+    pipe_nometrics = run_pipeline_once(
+        CPUS, fixtures_path, n_rows, collect_metrics=False
+    )
 
     result = {
         "metric": "parsed+routed turns/sec (full pipeline at local[CPUS]; "
@@ -247,11 +258,13 @@ def main() -> int:
                 "efficiency": round(core_eff, 3),
             },
             "pipeline": {
-                "what": "full pipeline incl. fan-out snapshot commits "
+                "what": "full pipeline incl. fan-out snapshot commits, "
+                "metrics+lineage collection ON "
                 "(single shared disk — see BENCH/BASELINE.md)",
                 "n_turns": n_rows,
                 "low": pipe_low,
                 "high": pipe_high,
+                "metrics_off_control": pipe_nometrics,
                 "speedup": round(
                     pipe_high["turns_per_sec"] / pipe_low["turns_per_sec"], 3
                 ),

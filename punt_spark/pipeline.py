@@ -228,16 +228,21 @@ class Pipeline:
             # Broadcast route join — cheap to recompute per consumer.
             routed, unhandled = route(envelope, self._routes, job_id=cfg.job_id)
             try:
+                # ONE fused aggregation job yields every row-level counter
+                # for the whole group: msgs.received / unhandled / failed /
+                # processed per (chunk, tag) AND per-partition lineage —
+                # what used to be 2 global + 2-3 per-sink collect() jobs.
+                # Inserted counts and per-(route_key, ts_day) lineage come
+                # from the commit manifests (parquet footers) below, so
+                # metrics collection adds exactly one Spark job per group.
                 if self.collect_metrics:
-                    m.count_by_chunk_tag(routed, "msgs.received")
-                    m.count_by_chunk_tag(unhandled, "msgs.unhandled")
-                    m.partition_lineage(routed, glabel, "routed")
+                    self._record_group_stats(routed, unhandled, glabel)
 
                 alert_events: dict[str, list] = {a.name: [] for a in cfg.alerts}
 
                 def write_sink(t: TypeConfig):
                     sub = routed.filter(F.col("sink") == t.sink_name)
-                    transformed, failed = apply_transformer(sub, t)
+                    transformed, _failed = apply_transformer(sub, t)
                     enriched = apply_mutators(transformed, t.mutators, self.lookups)
                     final = enriched.drop(
                         "prefix", "mapping_type", "date_format", "transformer",
@@ -246,27 +251,11 @@ class Pipeline:
                     out = salted_write_layout(
                         final, cfg.output_partitions, cfg.salt_buckets
                     )
-                    lineage_pc: dict[str, dict] = {}
-                    inserted: dict[str, int] = {}
-                    if self.collect_metrics:
-                        for r in (
-                            final.groupBy(CHUNK_COL, "route_key", "ts_day")
-                            .count()
-                            .collect()
-                        ):
-                            c = r[CHUNK_COL]
-                            lineage_pc.setdefault(c, {"partition_rows": {}})[
-                                "partition_rows"
-                            ][f"{r['route_key']}|{r['ts_day']}"] = r["count"]
-                            inserted[c] = inserted.get(c, 0) + r["count"]
                     with m.timing(f"write_latency.{t.sink_name}", glabel):
-                        self.sinks[t.sink_name].commit_batch(
-                            out,
-                            batch_id=gid,
-                            chunks=group,
-                            lineage_per_chunk=lineage_pc,
+                        manifests = self.sinks[t.sink_name].commit_batch(
+                            out, batch_id=gid, chunks=group,
                         )
-                    return t, sub, failed, enriched, inserted
+                    return t, enriched, manifests
 
                 results = []
                 types = list(cfg.types.values())
@@ -281,41 +270,26 @@ class Pipeline:
                                 "simulated crash after first sink commit"
                             )
 
-                for t, sub, failed, enriched, inserted in results:
+                for t, enriched, manifests in results:
                     if self.collect_metrics:
-                        for c, n in inserted.items():
-                            m.count("msgs.inserted", c, n, tag=t.sink_name)
-                        # msgs.processed is tagged (cluster.go:319) but
-                        # unpack-take drops `tag` — count on the pre-transform
-                        # frame minus failures.
-                        sub_counts = {
-                            (r[CHUNK_COL], r["tag"]): r["count"]
-                            for r in sub.groupBy(CHUNK_COL, "tag").count().collect()
-                        }
-                        failed_counts = {
-                            (r[CHUNK_COL], r["tag"]): r["count"]
-                            for r in failed.groupBy(CHUNK_COL, "tag")
-                            .count()
-                            .collect()
-                        }
-                        for (c, tag), n in failed_counts.items():
-                            m.count("msgs.failed", c, n, tag=tag)
-                        for (c, tag), n in sub_counts.items():
-                            p = n - failed_counts.get((c, tag), 0)
-                            if p:
-                                m.count("msgs.processed", c, p, tag=tag)
+                        for c, man in manifests.items():
+                            n = man.get("lineage", {}).get("n_rows", 0)
+                            if n:
+                                m.count("msgs.inserted", c, n, tag=t.sink_name)
                     for a in cfg.alerts:
                         ev = matched_events(enriched, a, t.name)
                         if ev is not None:
                             alert_events[a.name].append(ev)
 
-                self.errors_table.commit_batch(
+                err_manifests = self.errors_table.commit_batch(
                     errors.coalesce(4), batch_id=gid, chunks=group,
                     partition_cols=[],
                 )
                 if self.collect_metrics:
-                    for r in errors.groupBy(CHUNK_COL).count().collect():
-                        m.count("parse_errors", r[CHUNK_COL], r["count"])
+                    for c, man in err_manifests.items():
+                        n = man.get("lineage", {}).get("n_rows", 0)
+                        if n:
+                            m.count("parse_errors", c, n)
 
                 all_alerts = rollup_all(alert_events, cfg.alerts)
                 if all_alerts is not None:
@@ -337,6 +311,72 @@ class Pipeline:
         for chunk in group:
             self._mark_chunk(
                 chunk, {"chunk": chunk, "group": gid, "committed_at": time.time()}
+            )
+
+    def _record_group_stats(self, routed, unhandled, glabel: str):
+        """One aggregation over the cached parse output records every
+        per-(chunk, tag) counter the reference keeps (cluster.go:249-319):
+
+        * msgs.received  — rows dispatched to a sink
+        * msgs.unhandled — rows with no route and no '*'
+        * msgs.failed    — unpack-* rows whose content isn't a JSON object
+          (the exact json.Unmarshal failure condition, transformers.go:44)
+        * msgs.processed — received − failed
+        * lineage.routed.partition_rows — per-Spark-partition row counts
+          (spark_partition_id captured BEFORE the aggregation shuffle)
+        """
+        from .transform import json_ok
+
+        m = self.metrics
+        r = routed.select(
+            F.spark_partition_id().alias("pid"),
+            F.col(CHUNK_COL),
+            F.col("tag"),
+            F.col("transformer"),
+            json_ok().alias("ok"),
+        )
+        u = unhandled.select(
+            F.spark_partition_id().alias("pid"),
+            F.col(CHUNK_COL),
+            F.col("tag"),
+            F.lit(None).cast("string").alias("transformer"),
+            F.lit(True).alias("ok"),
+        )
+        stats = (
+            r.unionByName(u)
+            .groupBy("pid", CHUNK_COL, "tag", "transformer", "ok")
+            .count()
+            .collect()
+        )
+        received: dict[tuple, int] = {}
+        failed: dict[tuple, int] = {}
+        lineage: dict[int, int] = {}
+        for row in stats:
+            key = (row[CHUNK_COL], row["tag"])
+            n = int(row["count"])
+            if row["transformer"] is None:  # unhandled side
+                m.count("msgs.unhandled", key[0], n, tag=key[1])
+                continue
+            received[key] = received.get(key, 0) + n
+            lineage[row["pid"]] = lineage.get(row["pid"], 0) + n
+            if row["transformer"] in ("unpack-merge", "unpack-take") and not row["ok"]:
+                failed[key] = failed.get(key, 0) + n
+        for (c, tag), n in received.items():
+            m.count("msgs.received", c, n, tag=tag)
+        for (c, tag), n in failed.items():
+            m.count("msgs.failed", c, n, tag=tag)
+        for (c, tag), n in received.items():
+            p = n - failed.get((c, tag), 0)
+            if p:
+                m.count("msgs.processed", c, p, tag=tag)
+        for pid, n in sorted(lineage.items()):
+            m.rows.append(
+                {
+                    "chunk": glabel,
+                    "metric": "lineage.routed.partition_rows",
+                    "tag": str(pid),
+                    "value": n,
+                }
             )
 
     def _write_metrics(self):

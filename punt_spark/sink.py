@@ -40,6 +40,13 @@ CHUNK_COL = "chunk"
 _HIDDEN_COLS = ["batch", "snap", CHUNK_COL]
 
 
+def _parquet_file_rows(path: str) -> int:
+    """Row count from the parquet footer only (no column data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 class SnapshotTable:
     """A partitioned parquet table with atomic, idempotent snapshot commits.
 
@@ -119,12 +126,18 @@ class SnapshotTable:
         batch_id: str,
         chunks: list[str],
         partition_cols: list[str] | None = None,
-        lineage_per_chunk: dict[str, dict] | None = None,
+        footer_lineage: bool = True,
     ) -> dict[str, dict]:
         """ONE physical write spanning many chunks → one snapshot manifest
         per chunk. ``df`` must carry a ``chunk`` column; chunks absent from
         the data still get an (empty) snapshot so resume can trust manifest
-        existence."""
+        existence.
+
+        Lineage comes FREE from the write itself: per-partition row counts
+        are read from the parquet FOOTERS of the files just written
+        (metadata-only driver I/O, no Spark job, no data read) — the
+        Iceberg-manifest row-count analog. This replaces what used to be
+        one extra groupBy().collect() job per sink per group."""
         part_cols = [CHUNK_COL] + (
             partition_cols
             if partition_cols is not None
@@ -139,8 +152,24 @@ class SnapshotTable:
                     by_chunk.setdefault(seg.split("=", 1)[1], []).append(rel)
                     break
         out = {}
-        lineage_per_chunk = lineage_per_chunk or {}
         for chunk, files in by_chunk.items():
+            lineage: dict = {}
+            if footer_lineage:
+                partition_rows: dict[str, int] = {}
+                n_rows = 0
+                for rel in files:
+                    n = _parquet_file_rows(os.path.join(self.root, rel))
+                    key = "|".join(
+                        seg.split("=", 1)[1]
+                        for seg in rel.split(os.sep)
+                        if "=" in seg
+                        and not seg.startswith((f"{CHUNK_COL}=", "batch="))
+                    )
+                    partition_rows[key or "_"] = (
+                        partition_rows.get(key or "_", 0) + n
+                    )
+                    n_rows += n
+                lineage = {"partition_rows": partition_rows, "n_rows": n_rows}
             out[chunk] = self._publish(
                 {
                     "snapshot_id": chunk,
@@ -148,7 +177,7 @@ class SnapshotTable:
                     "partition_cols": part_cols,
                     "files": files,
                     "n_files": len(files),
-                    "lineage": lineage_per_chunk.get(chunk, {}),
+                    "lineage": lineage,
                     "committed_at": time.time(),
                 }
             )
