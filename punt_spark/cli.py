@@ -48,6 +48,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="percentage sample for --tail (default 100)")
     ap.add_argument("--limit", type=int, default=20,
                     help="max rows printed by --tail")
+    ap.add_argument("--follow", action="store_true",
+                    help="with --tail: live subscription — keep polling for "
+                    "newly committed rows (the reference's control-socket "
+                    "tail, control.go:80-143)")
+    ap.add_argument("--follow-sec", type=int, default=0,
+                    help="with --follow: stop after N seconds (0 = until "
+                    "interrupted)")
     args = ap.parse_args(argv)
 
     if args.tail:
@@ -56,11 +63,32 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(app_name="punt-spark-tail", master=args.master)
         table = SnapshotTable(os.path.join(args.out, args.tail))
+        filters = dict(kv.split("=", 1) for kv in args.tail_filter)
+        if args.follow:
+            from .streaming import live_tail
+
+            def emit(batch_df, batch_id):
+                for r in batch_df.collect():
+                    print(json.dumps(r.asDict(recursive=True), default=str),
+                          flush=True)
+
+            q = live_tail(
+                spark, table, filters, args.sample,
+                follow=True, foreach_batch=emit,
+            )
+            try:
+                if args.follow_sec > 0:
+                    q.awaitTermination(args.follow_sec)
+                    q.stop()
+                else:
+                    q.awaitTermination()
+            except KeyboardInterrupt:
+                q.stop()
+            return 0
         df = table.read(spark)
         if df is None:
             print("[]")
             return 0
-        filters = dict(kv.split("=", 1) for kv in args.tail_filter)
         rows = tail(df, filters, args.sample).limit(args.limit).collect()
         print(json.dumps([r.asDict(recursive=True) for r in rows],
                          default=str, indent=1))

@@ -129,6 +129,73 @@ class StreamingPipeline:
         return q
 
 
+def live_tail(
+    spark: SparkSession,
+    table,
+    filters: dict[str, str] | None = None,
+    sample_pct: int = 100,
+    seed: int = 42,
+    query_name: str = "punt_tail",
+    follow: bool = False,
+    trigger_sec: int = 1,
+    foreach_batch=None,
+):
+    """LIVE tail of a sink table — the streaming analog of the reference's
+    control-socket ``tail`` subscription (control.go:80-143): a subscriber
+    attaches to a Type's output and receives matching rows as they are
+    committed.
+
+    ``readStream`` over the sink table's data directory is the subscriber
+    channel: each new micro-batch picks up files from commits that landed
+    since the last trigger. Filter + sample semantics are shared with the
+    batch ``tail()`` (field-equality conjunction, ~pct% sample). Rows land
+    in an in-memory sink queryable as ``SELECT * FROM <query_name>`` (or
+    are handed to ``foreach_batch`` when given — the console/socket writer
+    analog).
+
+    ``follow=False`` drains what is currently committed and stops
+    (Trigger.AvailableNow); ``follow=True`` keeps polling every
+    ``trigger_sec`` seconds like a real tail -f. Returns the
+    StreamingQuery — caller stops it.
+
+    Scale note: the stream reads ONLY the tailed sink's directory and
+    prunes partition dirs like the batch reader; the memory sink bounds
+    nothing, so production use passes foreach_batch (the reference writes
+    to the control socket and drops the subscriber on disconnect)."""
+    from .tail import tail as tail_transform
+
+    batch_df = table.read(spark)
+    if batch_df is None:
+        raise ValueError(f"cannot tail empty sink table {table.root!r}")
+    # leaf-dir glob depth = batch=<id> dir + one level per partition col
+    manifests = table.snapshots()
+    n_parts = max(
+        (len(m.get("partition_cols", [])) for m in manifests.values()),
+        default=0,
+    )
+    leaf_glob = os.path.join(table.data_dir, *(["*"] * (1 + n_parts)))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("basePath", table.data_dir)
+        .parquet(leaf_glob)
+        # the file source appends discovered partition dirs (batch/chunk
+        # bookkeeping) even when absent from the schema — project back to
+        # the table's reader columns
+        .select(*batch_df.columns)
+    )
+    out = tail_transform(stream, filters, sample_pct, seed)
+    writer = out.writeStream.queryName(query_name)
+    if foreach_batch is not None:
+        writer = writer.foreachBatch(foreach_batch)
+    else:
+        writer = writer.format("memory").outputMode("append")
+    if follow:
+        writer = writer.trigger(processingTime=f"{trigger_sec} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stateful_alert_windows(
     stream: DataFrame,
     match: str,

@@ -25,8 +25,14 @@ def tail(
     seed: int = 42,
 ) -> DataFrame:
     """Field-equality conjunction (control.go:114-126; values compared as
-    strings, matching the reference's string-field comparison) + seeded
-    percentage sample (control.go:129-133)."""
+    strings, matching the reference's string-field comparison) + percentage
+    sample (control.go:129-133).
+
+    On a batch frame the sample is Spark's seeded Bernoulli sample; on a
+    STREAMING frame (``live_tail``) ``sample()`` is unsupported, so the
+    same ~pct% selection is a deterministic hash filter over the row's
+    stable identity ((conv_id, turn_idx) when present, else all columns) —
+    stable across micro-batch retries, unlike the reference's rand.Intn."""
     out = df
     if filters:
         cond = reduce(
@@ -35,5 +41,17 @@ def tail(
         )
         out = out.filter(cond)
     if sample_pct < 100:
-        out = out.sample(fraction=sample_pct / 100.0, seed=seed)
+        if df.isStreaming:
+            keys = (
+                ["conv_id", "turn_idx"]
+                if {"conv_id", "turn_idx"}.issubset(df.columns)
+                else list(df.columns)
+            )
+            bucket = F.pmod(
+                F.xxhash64(*[F.col(k) for k in keys], F.lit(seed)),
+                F.lit(100),
+            )
+            out = out.filter(bucket < sample_pct)
+        else:
+            out = out.sample(fraction=sample_pct / 100.0, seed=seed)
     return out

@@ -70,6 +70,88 @@ def test_streaming_alert_window(spark, stream_input, tmp_path):
     assert got > 0
 
 
+def test_live_tail_follows_new_commits(spark, tmp_path):
+    """The control-socket tail analog (control.go:80-143): a follow=True
+    subscription picks up rows from commits that land AFTER the stream
+    started, with the field-equality filter applied."""
+    import time
+
+    import pandas as pd
+    from punt_spark.sink import SnapshotTable
+    from punt_spark.streaming import live_tail
+
+    tbl = SnapshotTable(str(tmp_path / "tail_sink"))
+
+    def mk(tag, n, ids):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [f"c{i}" for i in ids],
+                "turn_idx": list(ids),
+                "tag": [tag] * n,
+                "route_key": [f"{tag}-2017.03.14.04"] * n,
+                "ts_day": ["2017-03-14"] * n,
+            }
+        )
+        return spark.createDataFrame(pdf)
+
+    tbl.commit(mk("logs", 3, [0, 1, 2]), snapshot_id="s1")
+    tbl.commit(mk("audit", 2, [3, 4]), snapshot_id="s2")
+
+    q = live_tail(
+        spark, tbl, filters={"tag": "logs"}, follow=True, trigger_sec=1,
+        query_name="live_tail_t",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select * from live_tail_t").count() >= 3:
+                break
+            time.sleep(0.5)
+        got = spark.sql("select conv_id from live_tail_t").collect()
+        assert {r["conv_id"] for r in got} == {"c0", "c1", "c2"}  # filtered
+
+        # a NEW commit lands while the subscription is live
+        tbl.commit(mk("logs", 2, [5, 6]), snapshot_id="s3")
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select * from live_tail_t").count() >= 5:
+                break
+            time.sleep(0.5)
+        got = {r["conv_id"] for r in spark.sql("select * from live_tail_t").collect()}
+        assert got == {"c0", "c1", "c2", "c5", "c6"}
+    finally:
+        q.stop()
+
+
+def test_live_tail_sample_deterministic(spark, tmp_path):
+    """Streaming sample is a deterministic hash selection: same seed →
+    same subset, ~pct% of rows."""
+    import pandas as pd
+    from punt_spark.sink import SnapshotTable
+    from punt_spark.streaming import live_tail
+
+    tbl = SnapshotTable(str(tmp_path / "tail_sample_sink"))
+    pdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{i}" for i in range(200)],
+            "turn_idx": list(range(200)),
+            "tag": ["logs"] * 200,
+        }
+    )
+    tbl.commit(spark.createDataFrame(pdf), snapshot_id="s1", partition_cols=[])
+    counts = []
+    for name in ("samp_a", "samp_b"):
+        q = live_tail(
+            spark, tbl, sample_pct=30, seed=7, follow=False, query_name=name
+        )
+        q.awaitTermination()
+        counts.append(
+            {r["conv_id"] for r in spark.sql(f"select * from {name}").collect()}
+        )
+    assert counts[0] == counts[1]  # deterministic
+    assert 30 <= len(counts[0]) <= 90  # ~30% of 200, generous band
+
+
 def test_stateful_event_aligned_windows(spark, tmp_path):
     """Event-aligned windows (first match opens the window) — differs from
     epoch-aligned tumbling when matches straddle an epoch boundary."""
