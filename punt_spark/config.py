@@ -75,6 +75,33 @@ class MutatorConfig:
 
 
 @dataclass
+class MappingConfig:
+    """Declared output schema for a mapping_type (reference:
+    lib/punt/mapping.go:8-32, config.json:54-63). ``fields`` maps field
+    name → {"type": <es type>, "index": bool}; Elasticsearch enforces it on
+    write, so our sink path casts declared fields to the equivalent Spark
+    type (see sink.enforce_mapping)."""
+
+    name: str
+    fields: dict[str, dict] = field(default_factory=dict)
+    all: bool = True
+
+
+@dataclass
+class ClusterConfig:
+    """One output cluster (reference: lib/punt/cluster.go:31-40,
+    config.json:2-27). Each cluster is an independent lane — its own ES
+    URL (here: output root), worker pool (partition parallelism) and
+    ingest servers — sharing the global Type registry (state.go:27-33)."""
+
+    name: str
+    out_root: str = ""  # ES URL analog: where this cluster's sinks live
+    num_workers: int | None = None  # → output_partitions override
+    bulk_size: int | None = None  # informational (ES bulk buffer)
+    commit_interval: int | None = None  # informational (ES commit loop)
+
+
+@dataclass
 class ActionConfig:
     """A rendered alert action (reference: lib/punt/action.go:42-122).
 
@@ -144,6 +171,8 @@ class PipelineConfig:
     types: dict[str, TypeConfig] = field(default_factory=dict)
     alerts: list[AlertConfig] = field(default_factory=list)
     actions: dict[str, ActionConfig] = field(default_factory=dict)
+    mappings: dict[str, MappingConfig] = field(default_factory=dict)
+    clusters: dict[str, ClusterConfig] = field(default_factory=dict)
     gc: list[GCConfig] = field(default_factory=list)
     # Execution knobs (reference: num_workers/bulk_size/commit_interval —
     # config.json:5-7). In Spark these become partition counts / file sizes.
@@ -205,8 +234,31 @@ class PipelineConfig:
                 url=acfg.get("url", ""),
                 color=int(acfg.get("color", 0)),
             )
+        mappings = {
+            name: MappingConfig(
+                name=name,
+                fields=mc.get("fields", {}),
+                all=mc.get("all", True),
+            )
+            for name, mc in raw.get("mappings", {}).items()
+        }
+        clusters = {
+            name: ClusterConfig(
+                name=name,
+                # the ES URL slot carries the output root in our engine;
+                # accept either key
+                out_root=cc.get("out_root", cc.get("url", "")),
+                num_workers=cc.get("num_workers"),
+                bulk_size=cc.get("bulk_size"),
+                commit_interval=cc.get("commit_interval"),
+            )
+            for name, cc in raw.get("clusters", {}).items()
+        }
         gc = [GCConfig(prefix=p, keep=g["keep"]) for p, g in raw.get("gc", {}).items()]
-        return cls(types=types, alerts=alerts, actions=actions, gc=gc)
+        return cls(
+            types=types, alerts=alerts, actions=actions, mappings=mappings,
+            clusters=clusters, gc=gc,
+        )
 
 
 def default_config() -> PipelineConfig:
@@ -223,6 +275,7 @@ def default_config() -> PipelineConfig:
             "app-json": TypeConfig(
                 name="app-json",
                 prefix="appjson-",
+                mapping_type="payload",
                 transformer="unpack-merge",
                 payload_schema="level string, user string, epoch string",
                 mutators=[
@@ -234,8 +287,27 @@ def default_config() -> PipelineConfig:
             "metrics-json": TypeConfig(
                 name="metrics-json",
                 prefix="metricsjson-",
+                mapping_type="payload",
                 transformer="unpack-take",
                 payload_schema="level string, user string, epoch string",
+            ),
+        },
+        mappings={
+            # declared sink schemas, enforced on write (mapping.go:8-32) —
+            # fields here are ones each mapping_type's sinks actually carry
+            "test": MappingConfig(
+                name="test",
+                fields={
+                    "content": {"type": "text", "index": True},
+                    "hostname": {"type": "keyword", "index": True},
+                },
+            ),
+            "payload": MappingConfig(
+                name="payload",
+                fields={
+                    "level": {"type": "keyword", "index": True},
+                    "user": {"type": "keyword", "index": True},
+                },
             ),
         },
         alerts=[

@@ -46,6 +46,7 @@ from .route import route, routes_df
 from .sink import (
     CHUNK_COL,
     SnapshotTable,
+    enforce_mapping,
     salted_write_layout,
 )
 from .transform import apply_transformer
@@ -63,11 +64,30 @@ class Pipeline:
         max_chunks_per_group: int = 64,
         parallel_sink_writes: bool = True,
         frame_mode: str = "none",
+        cluster: str | None = None,
     ):
+        """``cluster`` selects a ClusterConfig lane (reference: one Punt
+        Config drives several clusters, each with its own ES URL + worker
+        pool, config.go:14-21 / state.go:27-29): the cluster's out_root
+        replaces ``out_dir`` and its num_workers overrides
+        output_partitions. All clusters share the Type registry."""
         if frame_mode not in ("none", "newline", "octet"):
             raise ValueError(f"unknown frame_mode {frame_mode!r}")
         self.spark = spark
         self.cfg = cfg or default_config()
+        self.cluster = cluster
+        if cluster is not None:
+            cc = self.cfg.clusters.get(cluster)
+            if cc is None:
+                raise ValueError(f"unknown cluster {cluster!r}")
+            if cc.out_root:
+                out_dir = cc.out_root
+            if cc.num_workers:
+                import dataclasses
+
+                self.cfg = dataclasses.replace(
+                    self.cfg, output_partitions=cc.num_workers
+                )
         self.out_dir = out_dir
         self.lookups = lookups or {}
         self.use_native_parse = use_native_parse
@@ -247,6 +267,11 @@ class Pipeline:
                     final = enriched.drop(
                         "prefix", "mapping_type", "date_format", "transformer",
                         "sink",
+                    )
+                    # declared-mapping enforcement (the ES index-template
+                    # the reference pushes at startup, type.go:63-97)
+                    final = enforce_mapping(
+                        final, cfg.mappings.get(t.mapping_type)
                     )
                     out = salted_write_layout(
                         final, cfg.output_partitions, cfg.salt_buckets

@@ -262,6 +262,49 @@ class SnapshotTable:
         return expired
 
 
+# Elasticsearch mapping type → Spark SQL type (mapping.go field types; the
+# subset a Punt config can declare, defaulting to string for exotic ones).
+ES_TO_SPARK_TYPE = {
+    "text": "string",
+    "keyword": "string",
+    "long": "bigint",
+    "integer": "int",
+    "short": "smallint",
+    "byte": "tinyint",
+    "double": "double",
+    "float": "float",
+    "half_float": "float",
+    "boolean": "boolean",
+    "date": "timestamp",
+    "ip": "string",
+    "geo_point": "array<double>",
+}
+
+
+def enforce_mapping(df: DataFrame, mapping) -> DataFrame:
+    """Enforce a declared Mapping on the write path — the Spark analog of
+    Elasticsearch applying the index template Punt pushes at startup
+    (mapping.go:19-42, type.go:63-97; ES *rejects* non-coercible docs).
+
+    Declared fields are cast to the declared type with try_cast — a value
+    ES would bounce becomes NULL instead of failing the whole bulk commit
+    (documented divergence: our commits are atomic, so row-level rejection
+    would abort the snapshot). Declared fields missing from the frame
+    materialize as typed NULL columns, keeping every sink file on the
+    declared schema. Undeclared columns pass through (dynamic mapping,
+    ``Mapping.All``)."""
+    if mapping is None or not mapping.fields:
+        return df
+    out = df
+    for fname, spec in mapping.fields.items():
+        spark_type = ES_TO_SPARK_TYPE.get(spec.get("type", "text"), "string")
+        if fname in out.columns:
+            out = out.withColumn(fname, F.col(fname).try_cast(spark_type))
+        else:
+            out = out.withColumn(fname, F.lit(None).cast(spark_type))
+    return out
+
+
 def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
     """Per-sink CREATE TABLE DDL — the reference's startup index-template
     sync (R8, type.go:63-97) expressed as Iceberg DDL. On a real cluster
@@ -313,6 +356,16 @@ def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
                     f"{p}_risk_code int",
                     f"{p}_coords array<double>",
                 ]
+        # fold the declared mapping in: fields the transformer chain doesn't
+        # produce still appear in the sink schema (enforce_mapping
+        # materializes them as typed NULLs on write)
+        mapping = getattr(cfg, "mappings", {}).get(t.mapping_type)
+        if mapping:
+            present = {c.split()[0].strip("`") for c in cols}
+            for fname, spec in mapping.fields.items():
+                if fname not in present:
+                    sp = ES_TO_SPARK_TYPE.get(spec.get("type", "text"), "string")
+                    cols.append(f"{fname} {sp}")
         body = ",\n  ".join(cols)
         # identity partitioning on the stamp columns — matches the physical
         # writes (unpack-take sinks have no envelope ts to apply days() to)

@@ -29,7 +29,7 @@ from .config import PipelineConfig, default_config
 from .enrich import apply_mutators
 from .parse import with_parsed
 from .route import route, routes_df
-from .sink import CHUNK_COL, SnapshotTable, salted_write_layout
+from .sink import CHUNK_COL, SnapshotTable, enforce_mapping, salted_write_layout
 from .transform import apply_transformer
 
 TRANSCRIPT_SCHEMA = (
@@ -97,6 +97,7 @@ class StreamingPipeline:
                 final = enriched.drop(
                     "prefix", "mapping_type", "date_format", "transformer", "sink"
                 )
+                final = enforce_mapping(final, cfg.mappings.get(t.mapping_type))
                 out = salted_write_layout(
                     final, cfg.output_partitions, cfg.salt_buckets
                 )

@@ -72,26 +72,28 @@ def test_sink_ddl(spark, tmp_path):
     assert "content string" not in ddl["sink_app-json"]
     assert "epoch_ts string" in ddl["sink_app-json"]
     assert "hostname" not in ddl["sink_metrics-json"]
-    # DDL column set == what the pipeline actually writes (per sink)
-    from punt_spark.fixtures import make_transcripts
-    from punt_spark.pipeline import load_lookups
+    # R8 round-trip: DDL column set == the schema of the parquet each sink
+    # actually wrote, EXACTLY, for all 5 default types (reference
+    # type.go:63-97 pushes the template at startup and ES enforces it)
+    from punt_spark.fixtures import lookup_role_pdf, lookup_tool_pdf, make_transcripts
 
     pdf = make_transcripts(800, seed=3)
+    lookups = {
+        "tool": spark.createDataFrame(lookup_tool_pdf()),
+        "role": spark.createDataFrame(lookup_role_pdf()),
+    }
     pipe = Pipeline(
-        spark, cfg, out_dir=str(tmp_path / "ddlcheck"), collect_metrics=False
+        spark, cfg, out_dir=str(tmp_path / "ddlcheck"),
+        lookups=lookups, collect_metrics=False,
     )
     pipe.run(spark.createDataFrame(pdf))
     import re
 
     for sink_name, stmt in ddl.items():
         df = pipe.sinks[sink_name].read(spark)
-        if df is None:
-            continue
+        assert df is not None, f"{sink_name} wrote nothing"
         col_block = stmt.split("(", 1)[1].split("\n) USING")[0]
         ddl_cols = set(re.findall(r"^\s*`?([\w@-]+)`?\s+\w+", col_block, re.M))
-        written = set(df.columns)
-        missing_lookup_dims = {
-            c for c in ddl_cols - written if c.startswith(("tool_", "role_"))
-        }
-        assert ddl_cols - written - missing_lookup_dims == set(), sink_name
-        assert written - ddl_cols == set(), (sink_name, written - ddl_cols)
+        assert ddl_cols == set(df.columns), (
+            sink_name, ddl_cols ^ set(df.columns)
+        )

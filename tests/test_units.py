@@ -270,6 +270,76 @@ def test_render_template(spark):
     assert out[0]["r"] == "hello world x5!"
 
 
+def test_enforce_mapping(spark):
+    """Declared-mapping enforcement (mapping.go:8-32): declared fields are
+    cast to the declared type (try_cast: uncoercible → NULL, the row-level
+    analog of an ES bulk rejection), missing declared fields materialize
+    as typed NULLs, undeclared columns pass through."""
+    from punt_spark.config import MappingConfig
+    from punt_spark.sink import enforce_mapping
+
+    df = spark.createDataFrame(
+        [("12", "abc", "x")], "n string, bad string, extra string"
+    )
+    m = MappingConfig(
+        name="m",
+        fields={
+            "n": {"type": "long"},
+            "bad": {"type": "integer"},
+            "missing_field": {"type": "double"},
+        },
+    )
+    out = enforce_mapping(df, m)
+    row = out.collect()[0]
+    assert row["n"] == 12 and dict(out.dtypes)["n"] == "bigint"
+    assert row["bad"] is None  # 'abc' does not coerce to integer
+    assert row["missing_field"] is None
+    assert dict(out.dtypes)["missing_field"] == "double"
+    assert row["extra"] == "x"  # dynamic fields untouched
+    assert enforce_mapping(df, None) is df  # no mapping → no-op
+
+
+def test_multi_cluster_fanout(spark, tmp_path):
+    """Several clusters share one Type registry but write to their own
+    roots (config.go:14-21, state.go:27-29)."""
+    import datetime
+
+    import pytest
+    from punt_spark.config import ClusterConfig
+    from punt_spark.pipeline import Pipeline
+
+    cfg = default_config()
+    cfg.clusters = {
+        "east": ClusterConfig(name="east", out_root=str(tmp_path / "east")),
+        "west": ClusterConfig(
+            name="west", out_root=str(tmp_path / "west"), num_workers=8
+        ),
+    }
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "<13>Mar 14 04:00:00 h1 logs: hello", "none",
+             datetime.datetime(2017, 3, 14, 4, 0, 0)),
+            ("c1", 1, "user", "<13>Mar 14 04:00:01 h1 audit: world", "grep",
+             datetime.datetime(2017, 3, 14, 4, 0, 1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    counts = {}
+    for name in ("east", "west"):
+        p = Pipeline(spark, cfg, cluster=name, collect_metrics=False)
+        p.run(df)
+        counts[name] = {
+            s: (t.read(spark).count() if t.read(spark) is not None else 0)
+            for s, t in p.sinks.items()
+        }
+        assert p.out_dir == str(tmp_path / name)
+    assert counts["east"] == counts["west"]
+    assert counts["east"]["sink_logs"] == 1
+    with pytest.raises(ValueError, match="unknown cluster"):
+        Pipeline(spark, cfg, cluster="nope")
+
+
 def test_action_embed_rendering(spark):
     """Pin the embed payload against action.go:105-122: 3 events in one
     2s window → title suffixed ' (2 similar events)' (N-1 rule), timestamp
