@@ -280,35 +280,39 @@ def simhash16_native(
 
 
 def _simhash_batch(texts: pd.Series, bits: int = 64) -> pd.Series:
-    """Vectorized-ish SimHash over an Arrow batch: stable 64-bit token
-    hashes (blake2b) accumulated into a bit-vote vector per doc."""
+    """SimHash over an Arrow batch, vectorized per batch: every token in
+    the batch is hashed ONCE (blake2b, C-speed, deduplicated through a
+    batch-wide vocabulary), then the per-doc bit votes and signature
+    assembly are pure numpy — no per-bit Python loop."""
     import hashlib
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    cache: dict[str, int] = {}
-
-    def th(tok: str) -> int:
-        h = cache.get(tok)
-        if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
-            cache[tok] = h
-        return h
-
     masks = np.uint64(1) << np.arange(bits, dtype=np.uint64)
-    for i, t in enumerate(texts):
-        if not isinstance(t, str) or not t:
-            continue
-        toks = t.lower().split()
+    # batch-wide vocabulary: token → uint64 hash, computed once per token
+    tok_lists = [
+        t.lower().split() if isinstance(t, str) and t else []
+        for t in texts
+    ]
+    vocab: dict[str, np.uint64] = {}
+    for toks in tok_lists:
+        for tok in toks:
+            if tok not in vocab:
+                vocab[tok] = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            tok.encode(), digest_size=8
+                        ).digest(),
+                        "big",
+                    )
+                )
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, toks in enumerate(tok_lists):
         if not toks:
             continue
-        hs = np.fromiter((th(tok) for tok in toks), dtype=np.uint64, count=len(toks))
+        hs = np.fromiter(
+            (vocab[tok] for tok in toks), dtype=np.uint64, count=len(toks)
+        )
         votes = ((hs[:, None] & masks[None, :]) != 0).sum(axis=0) * 2 - len(hs)
-        sig = np.uint64(0)
-        for b in range(bits):
-            if votes[b] > 0:
-                sig |= masks[b]
+        sig = ((votes > 0) * masks).sum(dtype=np.uint64)
         out[i] = np.int64(sig.astype(np.int64))
     return pd.Series(out)
 

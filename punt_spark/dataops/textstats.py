@@ -84,16 +84,22 @@ _LANG_PROFILES: dict[str, list[str]] = {
 
 
 def make_lang_id_udf(profiles: dict[str, list[str]] | None = None):
+    import re
+
     profiles = profiles or _LANG_PROFILES
     langs = sorted(profiles)
+    escaped = {
+        lang: [re.escape(tri) for tri in tris]
+        for lang, tris in profiles.items()
+    }
 
     @pandas_udf("string")
     def lang_id(texts: pd.Series) -> pd.Series:
         low = texts.fillna("").str.lower()
         scores = np.zeros((len(low), len(langs)), dtype=np.int64)
         for j, lang in enumerate(langs):
-            for tri in profiles[lang]:
-                scores[:, j] += low.str.count(__import__("re").escape(tri)).to_numpy()
+            for tri in escaped[lang]:
+                scores[:, j] += low.str.count(tri).to_numpy()
         best = scores.argmax(axis=1)
         has_any = scores.max(axis=1) > 0
         out = np.where(has_any, np.array(langs, dtype=object)[best], "und")
