@@ -254,9 +254,19 @@ class Pipeline:
                 # what used to be 2 global + 2-3 per-sink collect() jobs.
                 # Inserted counts and per-(route_key, ts_day) lineage come
                 # from the commit manifests (parquet footers) below, so
-                # metrics collection adds exactly one Spark job per group.
+                # metrics collection adds exactly one Spark job per group —
+                # submitted CONCURRENTLY with the sink writes (it reads the
+                # same warm cache), so its latency hides behind the writes.
+                stats_future = None
+                stats_pool = None
                 if self.collect_metrics:
-                    self._record_group_stats(routed, unhandled, glabel)
+                    if self.parallel_sink_writes and not fail_hook:
+                        stats_pool = ThreadPoolExecutor(max_workers=1)
+                        stats_future = stats_pool.submit(
+                            self._record_group_stats, routed, unhandled, glabel
+                        )
+                    else:
+                        self._record_group_stats(routed, unhandled, glabel)
 
                 alert_events: dict[str, list] = {a.name: [] for a in cfg.alerts}
 
@@ -316,6 +326,10 @@ class Pipeline:
                         if n:
                             m.count("parse_errors", c, n)
 
+                if stats_future is not None:
+                    stats_future.result()
+                    stats_pool.shutdown()
+
                 all_alerts = rollup_all(alert_events, cfg.alerts)
                 if all_alerts is not None:
                     # The rollups feed two commits — cache so the second
@@ -353,12 +367,19 @@ class Pipeline:
         from .transform import json_ok
 
         m = self.metrics
+        # Evaluate the JSON-object check ONLY for rows routed through an
+        # unpack transformer — direct rows can't fail, and from_json over
+        # the whole corpus would roughly double this job's cost.
+        ok = F.when(
+            F.col("transformer").isin("unpack-merge", "unpack-take"),
+            json_ok(),
+        ).otherwise(F.lit(True))
         r = routed.select(
             F.spark_partition_id().alias("pid"),
             F.col(CHUNK_COL),
             F.col("tag"),
             F.col("transformer"),
-            json_ok().alias("ok"),
+            ok.alias("ok"),
         )
         u = unhandled.select(
             F.spark_partition_id().alias("pid"),
