@@ -403,6 +403,97 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3 on the 16-bit md5-nibble
+    simhash): pigeonhole banding — 4 chunks of 4 bits, a ham≤3 pair must
+    share ≥1 exact chunk — prunes candidates WITHOUT changing the result,
+    so the brute-force SQL oracle matches exactly. The 64-bit production
+    variant (dedup.simhash_near_dup_pairs) uses the same shape."""
+    from punt_spark.dataops.dedup import simhash16_native
+
+    sh = simhash16_native(_t(spark, sf_dir, "documents"))
+    chunks = sh.select(
+        "doc_id",
+        "simhash16",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " c -> (simhash16 >> (c * 4)) & 15)"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash16").alias("sig_a"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash16").alias("sig_b"),
+        "chunk_idx",
+        "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast(
+                "int"
+            ),
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
+def q_dup_clusters(spark, sf_dir):
+    """Transitive duplicate clusters: MinHash-band candidate pairs as the
+    edge set → connected components (iterative min-label propagation,
+    dedup.dup_clusters) → (doc_id, cluster_id = min doc in component).
+    The oracle walks the same reachability with a recursive CTE."""
+    from punt_spark.dataops.dedup import dup_clusters
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster_id")
+    )
+
+
+def q_alert_actions(spark, sf_dir):
+    """Alert-action rendering on the events table (action.go:105-122):
+    regex match → 60s tumbling rollup → embed title with the reference's
+    '(N-1 similar events)' suffix + RFC3339-Z first-event timestamp."""
+    e = _t(spark, sf_dir, "events")
+    matched = e.filter(F.col("props").rlike(r'"k": 9\d'))
+    agg = matched.groupBy(
+        F.window("ts", "60 seconds").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+    )
+    title = F.when(
+        F.col("n_events") > 1,
+        F.concat(
+            F.lit("K9 SEEN ("),
+            (F.col("n_events") - 1).cast("string"),
+            F.lit(" similar events)"),
+        ),
+    ).otherwise(F.lit("K9 SEEN"))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("n_events"),
+        title.alias("title"),
+        F.date_format("first_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "timestamp_s"
+        ),
+    )
+
+
 # --- training-data ops: embeddings ------------------------------------------
 
 _DOT = (
@@ -496,6 +587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "simhash_pairs": q_simhash_pairs,
+        "dup_clusters": q_dup_clusters,
+        "alert_actions": q_alert_actions,
     }
 
 
@@ -515,9 +609,10 @@ _SHINGLE_CTE = (
 _DOT_SQL = "list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 
-def _simhash16_sql() -> str:
-    """DuckDB mirror of dedup.simhash16_native: distinct tokens → 16-bit
-    md5-nibble hash → per-bit votes → bit assembly."""
+def _simhash16_cte() -> str:
+    """DuckDB mirror of dedup.simhash16_native as a CTE chain ending in
+    ``sv(doc_id, simhash16)``: distinct tokens → 16-bit md5-nibble hash →
+    per-bit votes → bit assembly."""
     votes = ",\n                   ".join(
         f"sum(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(16)
@@ -525,8 +620,7 @@ def _simhash16_sql() -> str:
     bits = " + ".join(
         f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
     )
-    return f"""
-        WITH tok AS (
+    return f"""tok AS (
             SELECT DISTINCT doc_id, tok FROM (
                 SELECT doc_id,
                        unnest(string_split_regex(lower(trim(text)), '\\s+'))
@@ -539,9 +633,9 @@ def _simhash16_sql() -> str:
             SELECT doc_id,
                    {votes}
             FROM h GROUP BY doc_id
-        )
-        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM v
-    """
+        ), sv AS (
+            SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM v
+        )"""
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -703,7 +797,53 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'en' ELSE 'other' END AS lang_pred
             FROM documents
         """,
-        "simhash": _simhash16_sql(),
+        "simhash": f"WITH {_simhash16_cte()}"
+        " SELECT doc_id, simhash16 FROM sv",
+        "simhash_pairs": f"""
+            WITH {_simhash16_cte()}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INTEGER)
+                   AS hamming
+            FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+        """,
+        "dup_clusters": f"""
+            WITH RECURSIVE {_SHINGLE_CTE.removeprefix("WITH ")},
+            sig AS (SELECT doc_id,
+                        min(md5('0' || shingle)) AS h0,
+                        min(md5('1' || shingle)) AS h1,
+                        min(md5('2' || shingle)) AS h2,
+                        min(md5('3' || shingle)) AS h3
+                    FROM sh GROUP BY doc_id),
+            bands AS (SELECT doc_id, md5(h0 || h1) AS b FROM sig
+                      UNION ALL
+                      SELECT doc_id, md5(h2 || h3) AS b FROM sig),
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e
+                  ON e.src = reach.id
+            )
+            SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        "alert_actions": """
+            SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,
+                   count(*) AS n_events,
+                   CASE WHEN count(*) > 1
+                        THEN 'K9 SEEN (' || CAST(count(*) - 1 AS VARCHAR)
+                             || ' similar events)'
+                        ELSE 'K9 SEEN' END AS title,
+                   strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS timestamp_s
+            FROM events WHERE regexp_matches(props, '"k": 9\\d')
+            GROUP BY 1
+        """,
         "minhash_signature": f"""
             {_SHINGLE_CTE}
             SELECT doc_id, min(md5(shingle)) AS minhash
