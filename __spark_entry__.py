@@ -245,7 +245,10 @@ def q_simhash(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs (threshold 0.2): explode distinct
-    3-gram shingles → self-join on shingle → |A∩B| / (|A|+|B|-|A∩B|)."""
+    3-gram shingles → self-join on shingle → |A∩B| / (|A|+|B|-|A∩B|).
+    Deliberately exact for oracle parity; the scale path is
+    dedup.ngram_jaccard_pairs(max_df=...) whose stop-shingle cap bounds the
+    candidate join against hot boilerplate shingles."""
     sh = _shingled(spark, sf_dir).select("doc_id", "shingle").distinct()
     sh = sh.withColumnRenamed("shingle", "s")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

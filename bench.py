@@ -49,6 +49,9 @@ OP_QUERIES = [
     "quality_score",
     "minhash_signature",
     "dedup_minhash_pairs",
+    "simhash",
+    "dup_clusters",
+    "alert_actions",
     "ann_topk",
 ]
 
@@ -199,6 +202,11 @@ def time_op_queries(sf_dir: str) -> dict[str, float]:
 
     spark = _fresh_session(CPUS, "punt_bench_ops")
     qs = entrymod.queries()
+    # session warm-up: pay JIT/codegen + broadcast machinery on a throwaway
+    # query so the first recorded number reflects the query, not the JVM
+    qs["route_counts"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     out = {}
     for name in OP_QUERIES:
         if name not in qs:
