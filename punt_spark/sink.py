@@ -196,6 +196,22 @@ class SnapshotTable:
     def has_snapshot(self, snapshot_id: str) -> bool:
         return os.path.exists(os.path.join(self.snap_dir, f"{snapshot_id}.json"))
 
+    def lineage(self) -> dict[str, dict]:
+        """Per-snapshot lineage audit: {snapshot_id: {"n_rows", "n_files",
+        "partition_rows": {"<route_key>|<ts_day>": rows}}} straight from the
+        committed manifests (no Spark job, no data read). A resumed run can
+        verify exactly which partitions each chunk committed — the
+        north_rule's per-partition lineage surface."""
+        out = {}
+        for sid, m in self.snapshots().items():
+            lin = m.get("lineage", {})
+            out[sid] = {
+                "n_rows": lin.get("n_rows", 0),
+                "n_files": m.get("n_files", 0),
+                "partition_rows": lin.get("partition_rows", {}),
+            }
+        return out
+
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Read exactly the manifested files (partition columns recovered
         from directory layout; bookkeeping cols dropped)."""

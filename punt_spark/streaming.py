@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .alerts import matched_events, render_actions, rollup_all
 from .config import PipelineConfig, default_config
 from .enrich import apply_mutators
 from .parse import with_parsed
@@ -56,6 +57,8 @@ class StreamingPipeline:
             for t in self.cfg.types.values()
         }
         self.errors_table = SnapshotTable(os.path.join(out_dir, "errors"))
+        self.alerts_table = SnapshotTable(os.path.join(out_dir, "alerts"))
+        self.actions_table = SnapshotTable(os.path.join(out_dir, "actions"))
         self._routes = routes_df(spark, self.cfg)
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int):
@@ -90,6 +93,7 @@ class StreamingPipeline:
                 .withColumn("source", F.concat(F.lit("conv:"), F.col("conv_id")))
             )
             routed, _ = route(envelope, self._routes, job_id=cfg.job_id)
+            alert_events: dict[str, list] = {a.name: [] for a in cfg.alerts}
             for t in cfg.types.values():
                 sub = routed.filter(F.col("sink") == t.sink_name)
                 transformed, _failed = apply_transformer(sub, t)
@@ -104,11 +108,34 @@ class StreamingPipeline:
                 self.sinks[t.sink_name].commit(
                     out, snapshot_id=f"batch-{batch_id:08d}"
                 )
+                for a in cfg.alerts:
+                    ev = matched_events(enriched, a, t.name)
+                    if ev is not None:
+                        alert_events[a.name].append(ev)
             self.errors_table.commit(
                 errors.coalesce(2),
                 snapshot_id=f"batch-{batch_id:08d}",
                 partition_cols=[],
             )
+            # alert rollup + rendered actions per micro-batch, same idempotent
+            # snapshot id — re-delivered batches overwrite, not duplicate.
+            # (Windows straddling a batch boundary roll up per batch — the
+            # reference's wall-clock windows have the same arrival-split
+            # behavior, alert.go:50-65.)
+            rolled = rollup_all(alert_events, cfg.alerts)
+            if rolled is not None:
+                rolled = rolled.coalesce(2).cache()
+                self.alerts_table.commit(
+                    rolled, snapshot_id=f"batch-{batch_id:08d}",
+                    partition_cols=[],
+                )
+                acts = render_actions(rolled, cfg.alerts, cfg.actions)
+                if acts is not None:
+                    self.actions_table.commit(
+                        acts, snapshot_id=f"batch-{batch_id:08d}",
+                        partition_cols=[],
+                    )
+                rolled.unpersist()
         finally:
             cached.unpersist()
 

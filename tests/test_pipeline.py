@@ -247,6 +247,25 @@ def test_resume_skips_committed_chunks(spark, fixtures_dir, transcripts, tmp_pat
     oracle = run_reference(rows.to_dict("records"), cfg, {})
     assert total == sum(len(v) for v in oracle["sinks"].values())
 
+    # lineage audit: manifest row counts reconcile with the data actually
+    # readable per sink, per (route_key, ts_day) partition
+    for t in cfg.types.values():
+        sink = pipe3.sinks[t.sink_name]
+        lin = sink.lineage()
+        df = sink.read(spark)
+        got_rows = df.count() if df is not None else 0
+        assert sum(s["n_rows"] for s in lin.values()) == got_rows, t.sink_name
+        if df is not None:
+            by_part = {
+                f"{r['route_key']}|{r['ts_day']}": r["count"]
+                for r in df.groupBy("route_key", "ts_day").count().collect()
+            }
+            lin_parts: dict[str, int] = {}
+            for s in lin.values():
+                for k, v in s["partition_rows"].items():
+                    lin_parts[k] = lin_parts.get(k, 0) + v
+            assert lin_parts == by_part, t.sink_name
+
 
 def test_retention_keep_n(spark, run):
     pipe, result, oracle, cfg = run

@@ -39,6 +39,17 @@ def test_streaming_matches_batch_counts(spark, fixtures_dir, transcripts, stream
     se = s.errors_table.read(spark)
     assert (be.count() if be else 0) == (se.count() if se else 0)
 
+    # alert events + rendered actions: same TOTAL matched-event count as
+    # batch (window boundaries differ when a rollup window straddles a
+    # micro-batch split, so compare the event sums, not window rows)
+    ba = batch.alerts_table.read(spark)
+    sa = s.alerts_table.read(spark)
+    assert ba is not None and sa is not None
+    agg = lambda d: d.agg(F.sum("n_events")).collect()[0][0]  # noqa: E731
+    assert agg(ba) == agg(sa)
+    sact = s.actions_table.read(spark)
+    assert sact is not None and agg(sact) == agg(ba)
+
     # second drain: checkpoint says nothing new → no duplicate rows
     s2 = StreamingPipeline(spark, cfg, out_dir=str(tmp_path / "stream"), lookups=lookups)
     s2.run_available_now(stream_input)
