@@ -270,6 +270,44 @@ def test_render_template(spark):
     assert out[0]["r"] == "hello world x5!"
 
 
+def test_example_config_end_to_end(spark, tmp_path):
+    """The shipped example config (the reference's config.json shape:
+    clusters / types / mappings / gc / alerts / actions) loads and drives a
+    full pipeline run — a reference user can carry their config over."""
+    import datetime
+    import os as _os
+
+    from punt_spark.pipeline import Pipeline
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "examples", "punt_config.json",
+    )
+    cfg = PipelineConfig.from_json(path)
+    assert set(cfg.types) == {"*", "logs", "audit", "app-json"}
+    assert cfg.actions["discord-alert"].color == 16738657
+    assert cfg.mappings["test"].fields["content"]["type"] == "text"
+    assert cfg.clusters["default"].num_workers == 32
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "<13>Mar 14 04:00:00 h1 logs:  magic word", "none",
+             datetime.datetime(2017, 3, 14, 4, 0, 0)),
+            ("c1", 1, "user", "<13>Mar 14 04:00:01 h1 nosuch: fallthrough", "none",
+             datetime.datetime(2017, 3, 14, 4, 0, 1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    pipe = Pipeline(spark, cfg, out_dir=str(tmp_path / "ex_out"))
+    pipe.run(df)
+    assert pipe.sinks["sink_logs"].read(spark).count() == 1
+    assert pipe.sinks["sink_catchall"].read(spark).count() == 1
+    acts = pipe.actions_table.read(spark)
+    assert acts is not None and acts.count() == 1
+    row = acts.collect()[0]
+    assert row["title"] == "FOUND MAGIC" and row["color"] == 16738657
+
+
 def test_enforce_mapping(spark):
     """Declared-mapping enforcement (mapping.go:8-32): declared fields are
     cast to the declared type (try_cast: uncoercible → NULL, the row-level
