@@ -81,6 +81,82 @@ def test_streaming_alert_window(spark, stream_input, tmp_path):
     assert got > 0
 
 
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: a row arriving in a later micro-batch with an
+    event time older than the watermark is DROPPED from the windowed alert
+    rollup (the reference has no late-data concept — documented divergence;
+    this pins ours)."""
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+    from punt_spark.streaming import streaming_alert_counts
+
+    src = str(tmp_path / "late_in")
+    _os.makedirs(src)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+
+    def write_one(fname, ts_list):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["c"] * len(ts_list),
+                "turn_idx": range(len(ts_list)),
+                "role": ["user"] * len(ts_list),
+                "text": ["magic"] * len(ts_list),
+                "tool": ["none"] * len(ts_list),
+                "ts": pd.to_datetime(ts_list).astype("datetime64[us]"),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(src, fname)
+        )
+
+    # Spark's late-event filter applies the watermark as of the PREVIOUS
+    # batch (the 3.4+ lateEvents/eviction split), so the watermark needs
+    # one batch to take effect: batch 1 advances event time to 00:05:00,
+    # batch 2 commits watermark 00:04:50, batch 3 carries the late row.
+    write_one("b1", ["2017-01-01 00:05:00"])
+    _time.sleep(1.1)  # file source orders batches by mod time
+    write_one("b2", ["2017-01-01 00:05:04"])
+    _time.sleep(1.1)
+    write_one("b3", ["2017-01-01 00:00:00"])  # LATE: < watermark 00:04:50
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src + "/*")
+    )
+    agg = streaming_alert_counts(
+        stream, match="magic", window_sec=2, watermark="10 seconds"
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_windows")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    starts = {
+        str(r["window_start"])
+        for r in spark.sql("select * from late_windows").collect()
+    }
+    assert "2017-01-01 00:05:00" in starts  # batch-1 window present
+    assert "2017-01-01 00:05:04" in starts  # on-time batch-2 row counted
+    assert "2017-01-01 00:00:00" not in starts  # late row dropped
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == 1
+
+
 def test_live_tail_follows_new_commits(spark, tmp_path):
     """The control-socket tail analog (control.go:80-143): a follow=True
     subscription picks up rows from commits that land AFTER the stream
