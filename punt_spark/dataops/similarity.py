@@ -147,6 +147,51 @@ def lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: sign-LSH bucketed
+    candidates (a < b within a shared (table, bucket)) → exact cosine
+    verify ≥ threshold.
+
+    Precision is exact (every emitted pair is verified); recall is the LSH
+    collision probability — with p = 1 - θ/π per plane, a cos=θ pair
+    collides in one table with p^n_planes, across tables
+    1-(1-p^n_planes)^n_tables (≈0.99 for cos≥0.95 at 8×8). The O(n²)
+    all-pairs compare never happens: only bucket-mates join, the same
+    shape as dedup.lsh_candidate_pairs. Deterministic given the seed."""
+    vb = lsh_cosine_buckets(
+        vectors, dim, vec_col, id_col, n_planes, n_tables, seed
+    )
+    a = vb.select(
+        "table_idx", "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = vb.select(
+        "table_idx", "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("sim", F.expr(_cos("va", "vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 # --- IVF ------------------------------------------------------------------------
 
 

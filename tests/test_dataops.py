@@ -179,6 +179,43 @@ def test_cosine_topk_matches_numpy(vectors):
         assert g == want[qid], qid
 
 
+def test_embedding_near_dup_pairs_lsh(spark):
+    """Scale-path near-dup: LSH candidates + exact verify. Precision is
+    exact by construction; recall checked against numpy brute force on
+    planted near-duplicates (deterministic seed)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # plant 5 near-dups: vec 100+i ≈ vec i (tiny perturbation → cos ≈ 1)
+    for i in range(5):
+        v = base[i] + rng.standard_normal(16) * 0.01
+        rows.append((100 + i, [float(x) for x in v]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf)
+    got = similarity.embedding_near_dup_pairs(
+        df, dim=16, threshold=0.95
+    ).toPandas()
+    got_pairs = {(r.id_a, r.id_b) for r in got.itertuples()}
+    # numpy brute-force oracle
+    mat = np.stack(pdf["embedding"].to_numpy())
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    sims = matn @ matn.T
+    want = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and sims[i, j] >= 0.95
+    }
+    assert len(want) == 5  # exactly the planted pairs
+    # precision exact: nothing below threshold emitted
+    assert got_pairs <= want
+    # recall on planted cos≈1 pairs: identical sign patterns → always found
+    assert got_pairs == want
+    for r in got.itertuples():
+        assert r.sim >= 0.95
+
+
 def test_lsh_topk_recall(vectors):
     df, pdf = vectors
     queries = df.filter(F.col("vec_id") < 5).select(
