@@ -406,6 +406,54 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII scrubbing (email / IPv4 / phone / card-like runs → typed
+    placeholders), chained native regexp_replace — the standard
+    pre-training scrub pass. The fixture corpus carries no PII, so a
+    deterministic doc_id-derived contact line is planted first (same
+    construction in the oracle) — the redaction is exercised on every
+    row, not vacuously green."""
+    from punt_spark.dataops.textstats import redact_pii
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "pii_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return redact_pii(d, text_col="pii_text").select("doc_id", "redacted")
+
+
+def q_repetition(spark, sf_dir):
+    """Within-document repetition ratio (Gopher-style filter signal):
+    1 − distinct/total word 3-grams, per-row array exprs only."""
+    from punt_spark.dataops.textstats import with_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    return with_repetition(d).select("doc_id", "rep_ratio")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing ANY 5-gram with the
+    held-out set (doc_id % 20 == 0 plays the benchmark) are dropped;
+    returns the kept corpus doc_ids. The benchmark shingle set is small →
+    broadcast left_anti, corpus never shuffles."""
+    from punt_spark.dataops.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench, shingle_n=5).select("doc_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 on the 16-bit md5-nibble
     simhash): pigeonhole banding — 4 chunks of 4 bits, a ham≤3 pair must
@@ -593,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "alert_actions": q_alert_actions,
+        "pii_redact": q_pii_redact,
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -835,6 +886,60 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        "pii_redact": """
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com at 10.0.0.'
+                       || CAST(doc_id % 256 AS VARCHAR)
+                       || ' tel 555-'
+                       || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS pii_text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(pii_text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IP>', 'g'),
+                       '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+                     '\\b\\d{13,19}\\b', '<CARD>', 'g') AS redacted
+            FROM p
+        """,
+        "repetition": f"""
+            {_SHINGLE_CTE},
+            r AS (SELECT doc_id,
+                         round(1.0 - count(DISTINCT shingle)
+                               / CAST(count(*) AS DOUBLE), 4) AS rep
+                  FROM sh GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(r.rep, 0.0) AS rep_ratio
+            FROM documents d LEFT JOIN r USING (doc_id)
+        """,
+        "decontaminate": """
+            WITH w5 AS (SELECT doc_id,
+                               string_split_regex(lower(trim(text)), '\\s+')
+                               AS ws
+                        FROM documents),
+            sh5 AS (SELECT doc_id,
+                           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                           || ws[i+3] || ' ' || ws[i+4] AS shingle
+                    FROM w5, UNNEST(range(1, greatest(len(ws) - 3, 1)))
+                         AS t(i)
+                    WHERE len(ws) >= 5),
+            bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 20 = 0),
+            contaminated AS (
+                SELECT DISTINCT s.doc_id
+                FROM sh5 s JOIN bench b ON s.shingle = b.shingle
+                WHERE s.doc_id % 20 <> 0)
+            SELECT doc_id FROM documents
+            WHERE doc_id % 20 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "alert_actions": """
             SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,

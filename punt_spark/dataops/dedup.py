@@ -239,6 +239,40 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- benchmark decontamination ---------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Drop training documents that share ANY word n-gram with a benchmark
+    set — the standard test-set decontamination pass (GPT-3/Pile style
+    13-gram rule, n configurable; 5 here to match short fixture docs).
+
+    Shape at scale: the benchmark's distinct shingles are a SMALL relation
+    (benchmarks are thousands of docs, corpora are billions) — the
+    left_anti join broadcasts it, so the corpus never shuffles. The
+    corpus-side shingle explode is map-side only."""
+    bench_shingles = (
+        with_shingles(benchmark, text_col, shingle_n)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    doc_shingles = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s")
+    )
+    contaminated = (
+        doc_shingles.join(F.broadcast(bench_shingles), "s", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "left_anti")
+
+
 # --- SimHash -------------------------------------------------------------------
 
 

@@ -70,6 +70,53 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- PII redaction ---------------------------------------------------------------
+
+# Conservative patterns valid in both Java regex (Spark) and RE2-style
+# (DuckDB oracle) dialects — the parity constraint matters more than
+# exhaustiveness here; production would extend the pattern bank.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b\d{13,19}\b", "<CARD>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out: str = "redacted") -> DataFrame:
+    """Scrub common PII shapes (email, IPv4, NANP phone, long card-like
+    digit runs) with typed placeholders — the standard pre-training scrub
+    pass. Chained native regexp_replace: JVM-side, codegen, zero Python."""
+    col = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out, col)
+
+
+# --- repetition scoring ------------------------------------------------------------
+
+
+def with_repetition(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition signal (the Gopher-style repetition
+    filter): fraction of duplicate word n-grams. 0 = all n-grams distinct;
+    → 1 for degenerate loops. Per-row array exprs, zero shuffles."""
+    grams = F.expr(
+        f"CASE WHEN size(split(lower(trim({text_col})), '\\\\s+')) >= {n} THEN"
+        f" transform(sequence(1, size(split(lower(trim({text_col})), '\\\\s+')) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(split(lower(trim({text_col})), '\\\\s+'), i, {n})))"
+        " ELSE array() END"
+    )
+    d = df.withColumn("__g", grams)
+    total = F.size("__g").cast("double")
+    distinct = F.size(F.array_distinct("__g")).cast("double")
+    rep = F.when(total > 0, F.round(1.0 - distinct / total, 4)).otherwise(
+        F.lit(0.0)
+    )
+    return d.withColumn("rep_ratio", rep).drop("__g")
+
+
 # --- language-ID --------------------------------------------------------------------
 
 # Tiny char-trigram profiles (illustrative, deterministic). Real profiles

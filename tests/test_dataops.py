@@ -140,6 +140,64 @@ def test_simhash16_native_matches_python(docs):
     assert got[0] == got[3]  # exact dup → identical signature
 
 
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org now"),
+            (1, "server at 192.168.1.254 down"),
+            (2, "call 555-867-5309 or card 4111111111111111"),
+            (3, "clean text no pii"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["redacted"]
+        for r in textstats.redact_pii(df).collect()
+    }
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "server at <IP> down"
+    assert got[2] == "call <PHONE> or card <CARD>"
+    assert got[3] == "clean text no pii"
+
+
+def test_with_repetition(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),  # one distinct 3-gram
+            (1, "all words here are fully distinct tokens"),
+            (2, "a b"),  # < n tokens → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["rep_ratio"]
+        for r in textstats.with_repetition(df).collect()
+    }
+    assert got[0] == 0.75  # 4 grams, 1 distinct → 1 - 1/4
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+
+
+def test_decontaminate(spark):
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "totally unrelated training document with many words"),
+            (1, "leaked copy: the secret benchmark answer is forty two exactly here"),
+            (2, "short doc"),  # < 5 tokens → no shingles → kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.decontaminate(corpus, bench, shingle_n=5).collect()
+    }
+    assert kept == {0, 2}  # the 5-gram-overlapping doc is dropped
+
+
 # --- similarity --------------------------------------------------------------------
 
 
