@@ -1,6 +1,6 @@
 """Corpus curation — the composed training-data pipeline: quality gate →
-language filter → exact dedup → MinHash near-dup dedup, with full audit
-trail.
+repetition filter → language filter → decontamination → exact dedup →
+MinHash near-dup dedup → PII redaction, with full audit trail.
 
 This is the canonical consumer of the dataops operators at 100 TB: every
 stage is a DataFrame transform over the corpus; the only shuffles are the
@@ -16,8 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import exact_dedup, minhash_dedup
-from .textstats import with_lang_id, with_quality
+from .dedup import decontaminate, exact_dedup, minhash_dedup
+from .textstats import redact_pii, with_lang_id, with_quality, with_repetition
 
 
 def curate_corpus(
@@ -26,16 +26,27 @@ def curate_corpus(
     text_col: str = "text",
     keep_langs: tuple[str, ...] | None = None,
     min_quality: float = 0.5,
+    max_repetition: float | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_shingle_n: int = 5,
     near_dup_threshold: float = 0.7,
     num_hashes: int = 32,
     bands: int = 8,
+    redact: bool = False,
 ) -> dict[str, DataFrame]:
     """Returns {"retained", "removed", "stats"}.
 
     removed carries (id, reason) for every dropped doc:
-    low_quality | lang | exact_dup | near_dup.
+    low_quality | repetition | lang | contaminated | exact_dup | near_dup.
+    Optional stages activate with their arguments: ``max_repetition`` gates
+    on the Gopher-style repetition ratio, ``benchmark`` drops test-set
+    n-gram overlap (broadcast anti-join), ``redact=True`` rewrites the
+    retained text with PII placeholders as the final pass (redaction is
+    last so dedup hashes see the original bytes).
     """
     scored = with_quality(docs, text_col)
+    if max_repetition is not None:
+        scored = with_repetition(scored, text_col)
     if keep_langs is not None:
         scored = with_lang_id(scored, text_col)
 
@@ -48,6 +59,15 @@ def curate_corpus(
         )
     )
 
+    if max_repetition is not None:
+        rep_ok = quality_ok.filter(F.col("rep_ratio") <= max_repetition)
+        removed_frames.append(
+            quality_ok.filter(F.col("rep_ratio") > max_repetition).select(
+                F.col(id_col), F.lit("repetition").alias("reason")
+            )
+        )
+        quality_ok = rep_ok
+
     if keep_langs is not None:
         lang_ok = quality_ok.filter(F.col("lang_pred").isin(*keep_langs))
         removed_frames.append(
@@ -57,6 +77,17 @@ def curate_corpus(
         )
     else:
         lang_ok = quality_ok
+
+    if benchmark is not None:
+        clean = decontaminate(
+            lang_ok, benchmark, text_col, id_col, decontam_shingle_n
+        )
+        removed_frames.append(
+            lang_ok.join(clean.select(id_col), id_col, "left_anti").select(
+                F.col(id_col), F.lit("contaminated").alias("reason")
+            )
+        )
+        lang_ok = clean
 
     # exact dedup keeps the min-id representative
     exact_kept = exact_dedup(lang_ok, [text_col], id_col)
@@ -82,6 +113,9 @@ def curate_corpus(
     removed_frames.append(
         near_dup_ids.select(F.col(id_col), F.lit("near_dup").alias("reason"))
     )
+
+    if redact:
+        retained = redact_pii(retained, text_col, out=text_col + "_redacted")
 
     removed = removed_frames[0]
     for f in removed_frames[1:]:

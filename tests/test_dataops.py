@@ -428,6 +428,37 @@ def test_curate_corpus_synthetic(spark):
     assert sum(stats.values()) == len(rows)
 
 
+def test_curate_corpus_full_stages(spark):
+    """All optional stages at once: repetition gate, decontamination,
+    final PII redaction — total accounting still holds."""
+    from punt_spark.dataops.curation import curate_corpus
+
+    rows = [
+        (0, "a normal high quality training document email me a@b.io and all these words differ"),
+        (1, "spam spam spam spam spam spam spam spam spam spam spam spam"),  # repetition
+        (2, "the hidden benchmark answer is exactly forty two okay plus extra training words here"),  # contaminated
+        (3, "another clean and useful document with plenty of distinct informative words inside"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(9, "the hidden benchmark answer is exactly forty two okay")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.3, max_repetition=0.5, benchmark=bench,
+        near_dup_threshold=0.9, redact=True,
+    )
+    removed = {r["doc_id"]: r["reason"] for r in out["removed"].collect()}
+    assert removed[1] == "repetition"
+    assert removed[2] == "contaminated"
+    ret = out["retained"].collect()
+    assert {r["doc_id"] for r in ret} == {0, 3}
+    red = {r["doc_id"]: r["text_redacted"] for r in ret}
+    assert "<EMAIL>" in red[0] and "a@b.io" not in red[0]
+    stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
+    assert sum(stats.values()) == len(rows)
+
+
 def test_dataops_on_real_documents_table(spark):
     """The full dataops surface runs on the driver's real documents table
     (shape check — oracles cover values in test_entry_oracle)."""
