@@ -52,6 +52,9 @@ OP_QUERIES = [
     "simhash",
     "dup_clusters",
     "alert_actions",
+    "pii_redact",
+    "repetition",
+    "decontaminate",
     "ann_topk",
 ]
 

@@ -140,6 +140,38 @@ def test_simhash16_native_matches_python(docs):
     assert got[0] == got[3]  # exact dup → identical signature
 
 
+def test_simhash16_property(spark):
+    """Property: the native column-expression simhash16 equals the pure
+    Python oracle on arbitrary ASCII corpora (ASCII by contract: Java \\s
+    in split() is ASCII-only while Python str.split() is Unicode-aware —
+    the pinned tokenizer semantics are ASCII whitespace)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ascii_text = st.text(
+        alphabet=st.sampled_from(
+            list("abcdefghijklmnopqrstuvwxyzABCDE0123456789 .,!?-_")
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ascii_text, min_size=1, max_size=6))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["simhash16"]
+            for r in dedup.simhash16_native(df).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _py_simhash16(t), repr(t)
+
+    check()
+
+
 def test_redact_pii(spark):
     df = spark.createDataFrame(
         [
