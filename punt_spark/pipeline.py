@@ -21,9 +21,13 @@ Execution shape (scale rationale):
   goroutine fan-out (R7).
 * Groups are formed deterministically from the sorted pending-chunk list,
   so a crash-resume re-forms identical groups → identical batch ids →
-  idempotent overwrite. (If NEW chunks appear between crash and resume,
-  side-table batches may be superseded — sink tables stay exactly-once
-  because their manifests are per-chunk.)
+  idempotent overwrite. (If NEW chunks appear between crash and resume the
+  re-formed group gets a DIFFERENT id: sink and errors tables stay
+  exactly-once because their manifests are per-chunk, but an
+  alerts/actions snapshot committed by the crashed group lingers next to
+  the new group's — duplicate alert rows in that narrow window. Accepted
+  + documented: the reference loses alert windows outright on crash
+  (in-memory rollup buffers, alert.go:19-21); we err on re-delivery.)
 """
 
 from __future__ import annotations
