@@ -101,14 +101,12 @@ def with_repetition(
 ) -> DataFrame:
     """Within-document repetition signal (the Gopher-style repetition
     filter): fraction of duplicate word n-grams. 0 = all n-grams distinct;
-    → 1 for degenerate loops. Per-row array exprs, zero shuffles."""
-    grams = F.expr(
-        f"CASE WHEN size(split(lower(trim({text_col})), '\\\\s+')) >= {n} THEN"
-        f" transform(sequence(1, size(split(lower(trim({text_col})), '\\\\s+')) - {n - 1}),"
-        f" i -> concat_ws(' ', slice(split(lower(trim({text_col})), '\\\\s+'), i, {n})))"
-        " ELSE array() END"
-    )
-    d = df.withColumn("__g", grams)
+    → 1 for degenerate loops. Per-row array exprs, zero shuffles; the
+    token split is materialized once (dedup.with_shingles), not inlined
+    per reference."""
+    from .dedup import with_shingles
+
+    d = with_shingles(df, text_col, n, out="__g")
     total = F.size("__g").cast("double")
     distinct = F.size(F.array_distinct("__g")).cast("double")
     rep = F.when(total > 0, F.round(1.0 - distinct / total, 4)).otherwise(

@@ -251,6 +251,8 @@ class Pipeline:
             )
             # Broadcast route join — cheap to recompute per consumer.
             routed, unhandled = route(envelope, self._routes, job_id=cfg.job_id)
+            stats_future = None
+            stats_pool = None
             try:
                 # ONE fused aggregation job yields every row-level counter
                 # for the whole group: msgs.received / unhandled / failed /
@@ -261,8 +263,6 @@ class Pipeline:
                 # metrics collection adds exactly one Spark job per group —
                 # submitted CONCURRENTLY with the sink writes (it reads the
                 # same warm cache), so its latency hides behind the writes.
-                stats_future = None
-                stats_pool = None
                 if self.collect_metrics:
                     if self.parallel_sink_writes and not fail_hook:
                         stats_pool = ThreadPoolExecutor(max_workers=1)
@@ -349,6 +349,8 @@ class Pipeline:
                         )
                     all_alerts.unpersist()
             finally:
+                if stats_pool is not None:
+                    stats_pool.shutdown(wait=False)
                 cached.unpersist()
 
         for chunk in group:
