@@ -65,23 +65,50 @@ def main(argv: list[str] | None = None) -> int:
         table = SnapshotTable(os.path.join(args.out, args.tail))
         filters = dict(kv.split("=", 1) for kv in args.tail_filter)
         if args.follow:
+            import time as _time
+
             from .streaming import live_tail
 
+            # a subscription attaches before data exists (the reference's
+            # control socket accepts tails regardless) — wait for the
+            # first commit, bounded by --follow-sec when given
+            t0 = _time.monotonic()
+            while table.read(spark) is None:
+                if args.follow_sec > 0 and _time.monotonic() - t0 > args.follow_sec:
+                    print("[]")
+                    return 0
+                print("waiting for first commit...", file=sys.stderr)
+                _time.sleep(1)
+
+            printed = {"n": 0}
+
             def emit(batch_df, batch_id):
-                for r in batch_df.collect():
+                remaining = args.limit - printed["n"]
+                if remaining <= 0:
+                    return
+                rows = batch_df.limit(remaining).collect()
+                for r in rows:
                     print(json.dumps(r.asDict(recursive=True), default=str),
                           flush=True)
+                printed["n"] += len(rows)
 
             q = live_tail(
                 spark, table, filters, args.sample,
                 follow=True, foreach_batch=emit,
             )
             try:
-                if args.follow_sec > 0:
-                    q.awaitTermination(args.follow_sec)
-                    q.stop()
-                else:
-                    q.awaitTermination()
+                deadline = (
+                    _time.monotonic() + args.follow_sec
+                    if args.follow_sec > 0
+                    else None
+                )
+                while q.isActive:
+                    if printed["n"] >= args.limit:
+                        break
+                    if deadline is not None and _time.monotonic() > deadline:
+                        break
+                    _time.sleep(0.5)
+                q.stop()
             except KeyboardInterrupt:
                 q.stop()
             return 0

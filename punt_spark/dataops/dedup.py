@@ -415,7 +415,7 @@ def simhash_near_dup_pairs(
 
 def dup_clusters(
     pairs: DataFrame,
-    max_iter: int = 20,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over the duplicate-pair graph → (id, cluster_id)
     with cluster_id = min id in the component.
@@ -446,6 +446,7 @@ def dup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -470,7 +471,16 @@ def dup_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silent non-convergence would return WRONG cluster ids (a chain
+        # longer than max_iter hops splits into several labels) — fail
+        # loudly; the caller raises max_iter for pathological diameters.
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the bound); raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
 
 

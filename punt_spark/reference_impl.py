@@ -180,17 +180,21 @@ def run_reference(
     actions_out: list[dict] = []
     for a in cfg.alerts:
         evs = sorted(alert_events[a.name], key=lambda e: e["ts"])
-        windows: dict[datetime, list[dict]] = {}
         w = a.rollup_window_sec
-        for e in evs:
-            if w == 0:  # no rollup: fire per event (alert.go:60-63)
-                windows.setdefault(e["ts"], []).append(e)
-                continue
-            epoch = int(e["ts"].replace(tzinfo=timezone.utc).timestamp())
-            start = datetime.utcfromtimestamp(epoch - epoch % w)
-            windows.setdefault(start, []).append(e)
+        if w == 0:
+            # no rollup: one single-event window PER EVENT, even when
+            # timestamps collide (alert.go:60-63 fires the action per
+            # message) — keyed by event identity, not by ts
+            window_groups = [(e["ts"], [e]) for e in evs]
+        else:
+            windows: dict[datetime, list[dict]] = {}
+            for e in evs:
+                epoch = int(e["ts"].replace(tzinfo=timezone.utc).timestamp())
+                start = datetime.utcfromtimestamp(epoch - epoch % w)
+                windows.setdefault(start, []).append(e)
+            window_groups = sorted(windows.items())
         act = cfg.actions.get(a.action) if hasattr(cfg, "actions") else None
-        for start, group in sorted(windows.items()):
+        for start, group in window_groups:
             first = group[0]["payload"]
             title = _render(a.title, first)
             if len(group) > 1:

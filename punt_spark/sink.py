@@ -67,9 +67,12 @@ class SnapshotTable:
     def _write_batch_dir(
         self, df: DataFrame, batch_id: str, part_cols: list[str]
     ) -> str:
-        """Write df under data/batch=<id> (atomic dir swap)."""
+        """Write df under data/batch=<id> (atomic dir swap). The staging
+        dir is DOT-prefixed so Spark's file listing (and the live_tail
+        stream source) never sees in-flight or crash-orphaned writes —
+        only the atomic rename publishes the files."""
         path = os.path.join(self.data_dir, f"batch={batch_id}")
-        tmp = path + ".tmp"
+        tmp = os.path.join(self.data_dir, f".tmp.batch={batch_id}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         writer = df.write.mode("overwrite")

@@ -189,7 +189,14 @@ def live_tail(
     Scale note: the stream reads ONLY the tailed sink's directory and
     prunes partition dirs like the batch reader; the memory sink bounds
     nothing, so production use passes foreach_batch (the reference writes
-    to the control socket and drops the subscriber on disconnect)."""
+    to the control socket and drops the subscriber on disconnect).
+
+    Delivery contract: the subscription is FILE-level, not manifest-level.
+    In-flight and crash-orphaned writes are invisible (staging dirs are
+    dot-prefixed, published only by atomic rename), but a batch later
+    superseded by a crash-resume re-commit may already have been tailed —
+    an at-least-once tail, vs the reference's lossy best-effort one
+    (control.go drops rows on slow subscribers)."""
     from .tail import tail as tail_transform
 
     batch_df = table.read(spark)
