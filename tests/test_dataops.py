@@ -210,6 +210,21 @@ def test_with_repetition(spark):
     assert got[2] == 0.0
 
 
+def test_dup_clusters_long_chain_and_convergence_guard(spark):
+    """A 30-node transitive chain collapses into ONE cluster (min-label
+    needs ~29 rounds, within the default bound); an insufficient max_iter
+    raises instead of silently returning split clusters."""
+    import pytest as _pytest
+
+    chain = [(i, i + 1) for i in range(29)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    labels = dedup.dup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in labels} == {0}
+    assert len(labels) == 30
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iter=5)
+
+
 def test_decontaminate(spark):
     bench = spark.createDataFrame(
         [(100, "the secret benchmark answer is forty two exactly")],
