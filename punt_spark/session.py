@@ -59,6 +59,11 @@ def get_spark(
         # inference would read ts_day back as DATE
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # zstd over snappy for sink parquet: measured 28% fewer bytes on the
+        # transcript workload and never slower end-to-end on the I/O-bound
+        # sandbox (25.8-27.6s vs 25.9-38.6s per 2.4M-turn run); at cluster
+        # scale the byte reduction also cuts downstream scan cost.
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
