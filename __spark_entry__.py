@@ -454,6 +454,34 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, shingle_n=5).select("doc_id")
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: stable md5-bucket label per
+    doc_id — re-runs and cross-engine replays never move a row across
+    splits (the eval-contamination guard)."""
+    from punt_spark.dataops.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(
+        d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling (domain re-weighting): per
+    event_type keep rates from the same md5 bucket — a pure function of
+    (id, salt), partitioning-independent."""
+    from punt_spark.dataops.sampling import stratified_sample
+
+    e = _t(spark, sf_dir, "events")
+    return stratified_sample(
+        e,
+        "event_id",
+        "event_type",
+        {"purchase": 1.0, "signup": 0.5, "error": 0.1},
+        default_rate=0.25,
+    ).select("event_id", "event_type")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 on the 16-bit md5-nibble
     simhash): pigeonhole banding — 4 chunks of 4 bits, a ham≤3 pair must
@@ -644,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -940,6 +970,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 20 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE
+                     WHEN ('0x' || substr(md5('split' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 10000 < 9000 THEN 'train'
+                     WHEN ('0x' || substr(md5('split' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                          % 10000 < 9500 THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT event_id, event_type FROM events
+            WHERE ('0x' || substr(md5('sample' ||
+                    CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                  < CASE event_type
+                      WHEN 'purchase' THEN 10000
+                      WHEN 'signup' THEN 5000
+                      WHEN 'error' THEN 1000
+                      ELSE 2500 END
         """,
         "alert_actions": """
             SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,

@@ -1,0 +1,90 @@
+"""Deterministic sampling & splitting for training-data pipelines.
+
+Engine-RNG sampling (``df.sample``) is irreproducible across engines and
+re-runs with different partitioning; these ops derive every decision from
+a content hash instead — the split/sample of a row is a pure function of
+(id, salt), so re-runs, backfills and cross-engine oracles agree exactly.
+
+The hash bucket is the first 8 hex chars of md5 (the Spark/DuckDB-shared
+deterministic hash) → uniform 32-bit int → modulo buckets. All native
+column expressions: JVM-side, codegen, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(
+    id_col: str, salt: str = "", buckets: int = BUCKETS
+) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from md5(salt || id)."""
+    h = F.md5(
+        F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+    )
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    buckets: int = BUCKETS,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: every row gets a stable label
+    from its id hash; fractions must sum to ≤ 1 (any remainder labels the
+    last split). Re-running, re-partitioning, or recomputing downstream
+    never moves a row across splits — the property that keeps eval sets
+    uncontaminated across pipeline versions."""
+    total = sum(fractions.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"fractions must sum to (0, 1], got {total}")
+    b = hash_bucket(id_col, salt, buckets)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = b < int(round(cum * buckets))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    out_col = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out, out_col)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Deterministic stratified (per-stratum-rate) sampling — the domain
+    re-weighting pass of a training mixture. ``rates`` maps stratum value →
+    keep fraction; unlisted strata keep ``default_rate``. The keep decision
+    is a pure function of (id, salt): independent of partitioning,
+    repeatable, and the same rows survive a backfill."""
+    b = hash_bucket(id_col, salt, buckets)
+    thresh = None
+    for value, rate in rates.items():
+        cond = F.col(stratum_col) == value
+        t = F.lit(int(round(rate * buckets)))
+        thresh = (
+            F.when(cond, t) if thresh is None else thresh.when(cond, t)
+        )
+    default_t = F.lit(int(round(default_rate * buckets)))
+    thresh = default_t if thresh is None else thresh.otherwise(default_t)
+    return df.filter(b < thresh)

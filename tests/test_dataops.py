@@ -245,6 +245,48 @@ def test_decontaminate(spark):
     assert kept == {0, 2}  # the 5-gram-overlapping doc is dropped
 
 
+def test_hash_split_and_stratified_sample(spark):
+    from punt_spark.dataops import sampling
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(4000)],
+        "id long, stratum string",
+    )
+    split = sampling.hash_split(
+        df, "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    counts = {
+        r["split"]: r["count"]
+        for r in split.groupBy("split").count().collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03  # hash-uniformity band
+    # determinism: identical assignment on recompute AND after repartition
+    a = {r["id"]: r["split"] for r in split.collect()}
+    b = {
+        r["id"]: r["split"]
+        for r in sampling.hash_split(
+            df.repartition(13), "id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="fractions"):
+        sampling.hash_split(df, "id", {"train": 1.5})
+
+    samp = sampling.stratified_sample(
+        df, "id", "stratum", {"a": 1.0, "b": 0.25}
+    )
+    by = {
+        r["stratum"]: r["count"]
+        for r in samp.groupBy("stratum").count().collect()
+    }
+    assert by["a"] == 2000  # rate 1.0 keeps everything
+    assert abs(by["b"] / 2000 - 0.25) < 0.05
+    # unlisted strata obey default_rate (0.0 → dropped entirely)
+    df2 = df.withColumn("stratum", F.lit("zzz"))
+    assert sampling.stratified_sample(df2, "id", "stratum", {"a": 1.0}).count() == 0
+
+
 # --- similarity --------------------------------------------------------------------
 
 
