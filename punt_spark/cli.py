@@ -38,12 +38,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="reprocess chunks even if committed")
     ap.add_argument("--retention", action="store_true",
                     help="run keep-N partition GC after the pipeline")
-    ap.add_argument("--tail", metavar="SINK",
-                    help="instead of running the pipeline, tail a sink table "
-                    "under --out (punt-cli analog): print matching rows")
+    ap.add_argument("--tail", metavar="SINK[,SINK...]",
+                    help="instead of running the pipeline, tail sink "
+                    "table(s) under --out (punt-cli analog; a comma list "
+                    "fans several tables into one stream like punt-cli's "
+                    "multi-host tail): print matching rows")
     ap.add_argument("--tail-filter", action="append", default=[],
                     metavar="FIELD=VALUE",
                     help="field-equality filter for --tail (repeatable)")
+    ap.add_argument("--filter", dest="filter_json", default=None,
+                    metavar="JSON",
+                    help='JSON object filter for --tail, punt-cli format: '
+                    '\'{"field": "value"}\'')
     ap.add_argument("--sample", type=int, default=100,
                     help="percentage sample for --tail (default 100)")
     ap.add_argument("--limit", type=int, default=20,
@@ -62,8 +68,13 @@ def main(argv: list[str] | None = None) -> int:
         from .tail import tail
 
         spark = get_spark(app_name="punt-spark-tail", master=args.master)
-        table = SnapshotTable(os.path.join(args.out, args.tail))
+        tables = [
+            SnapshotTable(os.path.join(args.out, s.strip()))
+            for s in args.tail.split(",")
+        ]
         filters = dict(kv.split("=", 1) for kv in args.tail_filter)
+        if args.filter_json:
+            filters.update(json.loads(args.filter_json))
         if args.follow:
             import time as _time
 
@@ -71,9 +82,9 @@ def main(argv: list[str] | None = None) -> int:
 
             # a subscription attaches before data exists (the reference's
             # control socket accepts tails regardless) — wait for the
-            # first commit, bounded by --follow-sec when given
+            # first commit on every listed table, bounded by --follow-sec
             t0 = _time.monotonic()
-            while table.read(spark) is None:
+            while any(t.read(spark) is None for t in tables):
                 if args.follow_sec > 0 and _time.monotonic() - t0 > args.follow_sec:
                     print("[]")
                     return 0
@@ -93,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
                 printed["n"] += len(rows)
 
             q = live_tail(
-                spark, table, filters, args.sample,
+                spark, tables, filters, args.sample,
                 follow=True, foreach_batch=emit,
             )
             try:
@@ -112,10 +123,14 @@ def main(argv: list[str] | None = None) -> int:
             except KeyboardInterrupt:
                 q.stop()
             return 0
-        df = table.read(spark)
-        if df is None:
+        frames = [t.read(spark) for t in tables]
+        frames = [f for f in frames if f is not None]
+        if not frames:
             print("[]")
             return 0
+        df = frames[0]
+        for f in frames[1:]:
+            df = df.unionByName(f, allowMissingColumns=True)
         rows = tail(df, filters, args.sample).limit(args.limit).collect()
         print(json.dumps([r.asDict(recursive=True) for r in rows],
                          default=str, indent=1))

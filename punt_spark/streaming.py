@@ -157,6 +157,31 @@ class StreamingPipeline:
         return q
 
 
+def tail_stream(spark: SparkSession, table):
+    """Unbounded stream over ONE sink table's committed files (the
+    building block of live_tail): readStream over the data directory,
+    projected to the table's reader columns."""
+    batch_df = table.read(spark)
+    if batch_df is None:
+        raise ValueError(f"cannot tail empty sink table {table.root!r}")
+    # leaf-dir glob depth = batch=<id> dir + one level per partition col
+    manifests = table.snapshots()
+    n_parts = max(
+        (len(m.get("partition_cols", [])) for m in manifests.values()),
+        default=0,
+    )
+    leaf_glob = os.path.join(table.data_dir, *(["*"] * (1 + n_parts)))
+    return (
+        spark.readStream.schema(batch_df.schema)
+        .option("basePath", table.data_dir)
+        .parquet(leaf_glob)
+        # the file source appends discovered partition dirs (batch/chunk
+        # bookkeeping) even when absent from the schema — project back to
+        # the table's reader columns
+        .select(*batch_df.columns)
+    )
+
+
 def live_tail(
     spark: SparkSession,
     table,
@@ -168,7 +193,8 @@ def live_tail(
     trigger_sec: int = 1,
     foreach_batch=None,
 ):
-    """LIVE tail of a sink table — the streaming analog of the reference's
+    """LIVE tail of a sink table (or a LIST of tables, fanned in like
+    punt-cli's multi-host tail) — the streaming analog of the reference's
     control-socket ``tail`` subscription (control.go:80-143): a subscriber
     attaches to a Type's output and receives matching rows as they are
     committed.
@@ -199,25 +225,14 @@ def live_tail(
     (control.go drops rows on slow subscribers)."""
     from .tail import tail as tail_transform
 
-    batch_df = table.read(spark)
-    if batch_df is None:
-        raise ValueError(f"cannot tail empty sink table {table.root!r}")
-    # leaf-dir glob depth = batch=<id> dir + one level per partition col
-    manifests = table.snapshots()
-    n_parts = max(
-        (len(m.get("partition_cols", [])) for m in manifests.values()),
-        default=0,
-    )
-    leaf_glob = os.path.join(table.data_dir, *(["*"] * (1 + n_parts)))
-    stream = (
-        spark.readStream.schema(batch_df.schema)
-        .option("basePath", table.data_dir)
-        .parquet(leaf_glob)
-        # the file source appends discovered partition dirs (batch/chunk
-        # bookkeeping) even when absent from the schema — project back to
-        # the table's reader columns
-        .select(*batch_df.columns)
-    )
+    tables = table if isinstance(table, (list, tuple)) else [table]
+    streams = [tail_stream(spark, t) for t in tables]
+    # multi-table fan-in: punt-cli tails the SAME stream type on several
+    # hosts and merges the lines (cmd/punt-cli/main.go:22-74); several
+    # cluster lanes' sink tables union the same way (schema gaps → nulls)
+    stream = streams[0]
+    for s in streams[1:]:
+        stream = stream.unionByName(s, allowMissingColumns=True)
     out = tail_transform(stream, filters, sample_pct, seed)
     writer = out.writeStream.queryName(query_name)
     if foreach_batch is not None:

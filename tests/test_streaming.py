@@ -210,6 +210,42 @@ def test_live_tail_follows_new_commits(spark, tmp_path):
         q.stop()
 
 
+def test_live_tail_multi_table_fan_in(spark, tmp_path):
+    """punt-cli tails the same stream on several hosts and merges the
+    lines (cmd/punt-cli/main.go:22-74) — several sink tables fan into one
+    subscription, schema gaps null-filled."""
+    import pandas as pd
+    from punt_spark.sink import SnapshotTable
+    from punt_spark.streaming import live_tail
+
+    t1 = SnapshotTable(str(tmp_path / "lane_east"))
+    t2 = SnapshotTable(str(tmp_path / "lane_west"))
+    t1.commit(
+        spark.createDataFrame(
+            pd.DataFrame({"conv_id": ["e1", "e2"], "turn_idx": [0, 1],
+                          "tag": ["logs", "logs"]})
+        ),
+        snapshot_id="s1", partition_cols=[],
+    )
+    t2.commit(
+        spark.createDataFrame(
+            pd.DataFrame({"conv_id": ["w1"], "turn_idx": [0],
+                          "tag": ["logs"], "extra": ["x"]})
+        ),
+        snapshot_id="s1", partition_cols=[],
+    )
+    q = live_tail(
+        spark, [t1, t2], filters={"tag": "logs"}, follow=False,
+        query_name="fanin",
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from fanin").collect()
+    assert {r["conv_id"] for r in rows} == {"e1", "e2", "w1"}
+    by = {r["conv_id"]: r for r in rows}
+    assert by["w1"]["extra"] == "x"
+    assert by["e1"]["extra"] is None  # missing column null-filled
+
+
 def test_live_tail_sample_deterministic(spark, tmp_path):
     """Streaming sample is a deterministic hash selection: same seed →
     same subset, ~pct% of rows."""
