@@ -52,8 +52,9 @@ def main(argv: list[str] | None = None) -> int:
                     '\'{"field": "value"}\'')
     ap.add_argument("--sample", type=int, default=100,
                     help="percentage sample for --tail (default 100)")
-    ap.add_argument("--limit", type=int, default=20,
-                    help="max rows printed by --tail")
+    ap.add_argument("--limit", type=int, default=None,
+                    help="max rows printed by --tail (default 20 in batch "
+                    "mode; unbounded in --follow mode unless given)")
     ap.add_argument("--follow", action="store_true",
                     help="with --tail: live subscription — keep polling for "
                     "newly committed rows (the reference's control-socket "
@@ -68,36 +69,53 @@ def main(argv: list[str] | None = None) -> int:
         from .tail import tail
 
         spark = get_spark(app_name="punt-spark-tail", master=args.master)
+        names = [s.strip() for s in args.tail.split(",") if s.strip()]
+        if not names:
+            ap.error("--tail needs at least one sink name")
         tables = [
-            SnapshotTable(os.path.join(args.out, s.strip()))
-            for s in args.tail.split(",")
+            SnapshotTable(os.path.join(args.out, s)) for s in names
         ]
         filters = dict(kv.split("=", 1) for kv in args.tail_filter)
         if args.filter_json:
-            filters.update(json.loads(args.filter_json))
+            # punt-cli's TailRequest.Filter is map[string]string
+            # (control.go:20-22) — coerce JSON scalars to their string form
+            filters.update(
+                {
+                    k: v if isinstance(v, str) else json.dumps(v)
+                    for k, v in json.loads(args.filter_json).items()
+                }
+            )
         if args.follow:
             import time as _time
 
             from .streaming import live_tail
 
+            # ONE overall deadline covers both the wait-for-first-commit
+            # phase and the tailing phase (--follow-sec is a hard bound)
+            deadline = (
+                _time.monotonic() + args.follow_sec
+                if args.follow_sec > 0
+                else None
+            )
             # a subscription attaches before data exists (the reference's
-            # control socket accepts tails regardless) — wait for the
-            # first commit on every listed table, bounded by --follow-sec
-            t0 = _time.monotonic()
+            # control socket accepts tails regardless)
             while any(t.read(spark) is None for t in tables):
-                if args.follow_sec > 0 and _time.monotonic() - t0 > args.follow_sec:
+                if deadline is not None and _time.monotonic() > deadline:
                     print("[]")
                     return 0
                 print("waiting for first commit...", file=sys.stderr)
                 _time.sleep(1)
 
             printed = {"n": 0}
+            limit = args.limit  # None = unbounded live tail
 
             def emit(batch_df, batch_id):
-                remaining = args.limit - printed["n"]
-                if remaining <= 0:
-                    return
-                rows = batch_df.limit(remaining).collect()
+                if limit is not None:
+                    remaining = limit - printed["n"]
+                    if remaining <= 0:
+                        return
+                    batch_df = batch_df.limit(remaining)
+                rows = batch_df.collect()
                 for r in rows:
                     print(json.dumps(r.asDict(recursive=True), default=str),
                           flush=True)
@@ -108,17 +126,17 @@ def main(argv: list[str] | None = None) -> int:
                 follow=True, foreach_batch=emit,
             )
             try:
-                deadline = (
-                    _time.monotonic() + args.follow_sec
-                    if args.follow_sec > 0
-                    else None
-                )
                 while q.isActive:
-                    if printed["n"] >= args.limit:
+                    if limit is not None and printed["n"] >= limit:
                         break
                     if deadline is not None and _time.monotonic() > deadline:
                         break
                     _time.sleep(0.5)
+                # a stream that died on its own carries the error — surface
+                # it instead of exiting 0 on a failed tail
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
                 q.stop()
             except KeyboardInterrupt:
                 q.stop()
@@ -131,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
         df = frames[0]
         for f in frames[1:]:
             df = df.unionByName(f, allowMissingColumns=True)
-        rows = tail(df, filters, args.sample).limit(args.limit).collect()
+        batch_limit = args.limit if args.limit is not None else 20
+        rows = tail(df, filters, args.sample).limit(batch_limit).collect()
         print(json.dumps([r.asDict(recursive=True) for r in rows],
                          default=str, indent=1))
         return 0

@@ -21,10 +21,16 @@ BUCKETS = 10_000
 def hash_bucket(
     id_col: str, salt: str = "", buckets: int = BUCKETS
 ) -> Column:
-    """Uniform deterministic bucket in [0, buckets) from md5(salt || id)."""
-    h = F.md5(
-        F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
-    )
+    """Uniform deterministic bucket in [0, buckets) from md5(salt || id).
+
+    NULL ids hash as the literal sentinel "\\x00null" (md5 of NULL would
+    propagate NULL, silently dumping every null-id row into the
+    `otherwise` split / dropping it from samples — the exact skew a
+    deterministic splitter must not have). All null-id rows share one
+    bucket by construction: a deterministic function of the id cannot
+    distribute identical ids."""
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    h = F.md5(F.concat(F.lit(salt), id_str).cast("binary"))
     return (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
     )
@@ -43,6 +49,11 @@ def hash_split(
     last split). Re-running, re-partitioning, or recomputing downstream
     never moves a row across splits — the property that keeps eval sets
     uncontaminated across pipeline versions."""
+    for name, frac in fractions.items():
+        if not 0 < frac <= 1.0:
+            raise ValueError(
+                f"fractions must each be in (0, 1]: {name!r} = {frac}"
+            )
     total = sum(fractions.values())
     if not 0 < total <= 1.0 + 1e-9:
         raise ValueError(f"fractions must sum to (0, 1], got {total}")

@@ -84,6 +84,22 @@ class SnapshotTable:
         os.replace(tmp, path)
         return path
 
+    def _check_partition_spec(self, part_cols: list[str]):
+        """A table's partition spec is immutable: mixing depths breaks the
+        basePath partition discovery of BOTH the batch reader
+        (CONFLICTING_PARTITION_COLUMN_NAMES) and the tail stream's leaf
+        glob — fail at commit time, where the mistake is made, not at
+        read time. (Iceberg-style partition-spec evolution would need
+        explicit per-spec file groups; out of scope.)"""
+        for m in self.snapshots().values():
+            existing = m.get("partition_cols", [])
+            if existing != part_cols:
+                raise ValueError(
+                    f"partition spec mismatch on {self.root!r}: table has "
+                    f"{existing}, commit attempted {part_cols}"
+                )
+            break  # manifests are uniform beyond the first by induction
+
     def _publish(self, manifest: dict) -> dict:
         sid = manifest["snapshot_id"]
         tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
@@ -106,6 +122,7 @@ class SnapshotTable:
             if partition_cols is not None
             else [c for c in PARTITION_COLS if c in df.columns]
         )
+        self._check_partition_spec(part_cols)
         path = self._write_batch_dir(df, snapshot_id, part_cols)
         files = [
             os.path.relpath(f, self.root)
@@ -146,6 +163,7 @@ class SnapshotTable:
             if partition_cols is not None
             else [c for c in PARTITION_COLS if c in df.columns]
         )
+        self._check_partition_spec(part_cols)
         path = self._write_batch_dir(df, batch_id, part_cols)
         by_chunk: dict[str, list[str]] = {c: [] for c in chunks}
         for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True):

@@ -160,16 +160,18 @@ class StreamingPipeline:
 def tail_stream(spark: SparkSession, table):
     """Unbounded stream over ONE sink table's committed files (the
     building block of live_tail): readStream over the data directory,
-    projected to the table's reader columns."""
+    projected to the table's reader columns. The table's partition spec is
+    uniform by contract (SnapshotTable rejects spec changes at commit
+    time), so one fixed-depth leaf glob covers every snapshot."""
     batch_df = table.read(spark)
     if batch_df is None:
         raise ValueError(f"cannot tail empty sink table {table.root!r}")
-    # leaf-dir glob depth = batch=<id> dir + one level per partition col
     manifests = table.snapshots()
     n_parts = max(
         (len(m.get("partition_cols", [])) for m in manifests.values()),
         default=0,
     )
+    # leaf-dir glob depth = batch=<id> dir + one level per partition col
     leaf_glob = os.path.join(table.data_dir, *(["*"] * (1 + n_parts)))
     return (
         spark.readStream.schema(batch_df.schema)

@@ -272,6 +272,26 @@ def test_hash_split_and_stratified_sample(spark):
     assert a == b
     with pytest.raises(ValueError, match="fractions"):
         sampling.hash_split(df, "id", {"train": 1.5})
+    # per-fraction validation: values that sum into range but are
+    # individually invalid are rejected
+    with pytest.raises(ValueError, match="each be in"):
+        sampling.hash_split(df, "id", {"train": 1.5, "val": -0.5})
+    # NULL ids hash via a sentinel — they land in exactly one split (not
+    # force-routed into the last/eval split) and still sample at rate 1.0
+    dfn = spark.createDataFrame(
+        [(None, "a"), (1, "a")], "id string, stratum string"
+    )
+    labels = {
+        r["id"]: r["split"]
+        for r in sampling.hash_split(
+            dfn, "id", {"train": 0.9, "val": 0.05, "test": 0.05}
+        ).collect()
+    }
+    assert labels[None] in {"train", "val", "test"}
+    assert (
+        sampling.stratified_sample(dfn, "id", "stratum", {"a": 1.0}).count()
+        == 2  # rate 1.0 keeps null-id rows too
+    )
 
     samp = sampling.stratified_sample(
         df, "id", "stratum", {"a": 1.0, "b": 0.25}

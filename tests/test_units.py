@@ -308,6 +308,21 @@ def test_example_config_end_to_end(spark, tmp_path):
     assert row["title"] == "FOUND MAGIC" and row["color"] == 16738657
 
 
+def test_partition_spec_is_immutable(spark, tmp_path):
+    """Mixing partition specs on one table breaks basePath partition
+    discovery for every reader — rejected at commit time."""
+    from punt_spark.sink import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "spec_tbl"))
+    df = spark.createDataFrame(
+        [("a", "r1", "d1")], "conv_id string, route_key string, ts_day string"
+    )
+    tbl.commit(df, "s1")  # (route_key, ts_day)
+    tbl.commit(df, "s2")  # same spec: fine (idempotent re-commit too)
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        tbl.commit(df, "s3", partition_cols=[])
+
+
 def test_enforce_mapping(spark):
     """Declared-mapping enforcement (mapping.go:8-32): declared fields are
     cast to the declared type (try_cast: uncoercible → NULL, the row-level
