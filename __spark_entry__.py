@@ -35,7 +35,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC so date_format matches DuckDB's tz-naive strftime regardless
     # of the driver session's zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # The sf* fixtures are single-row-group parquet files — one scan task —
+    # so every downstream md5/regex/shingle pass would run single-threaded.
+    # Spread the rows across the executor cores (guarded: a real 100 TB
+    # input arrives as thousands of splits and this is a no-op).
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
