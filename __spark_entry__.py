@@ -718,6 +718,7 @@ def _simhash16_cte() -> str:
                        unnest(string_split_regex(lower(trim(text)), '\\s+'))
                        AS tok
                 FROM documents)
+            WHERE tok != ''
         ), h AS (
             SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::INTEGER AS hv
             FROM tok

@@ -110,8 +110,9 @@ def run_pipeline_once(
 ) -> dict:
     """Full pipeline run. Metrics+lineage collection is ON by default —
     the north_rule requires per-partition lineage + metrics recorded, so
-    the HEADLINE number includes them (they cost one fused aggregation job
-    per group + parquet-footer reads; see pipeline._record_group_stats)."""
+    the HEADLINE number includes them (they ride existing jobs: observation
+    metrics on the sink writes + the cache-materialization aggregate +
+    parquet-footer reads; see pipeline._record_scan_stats)."""
     from punt_spark.pipeline import Pipeline, load_lookups
 
     spark = _fresh_session(threads, f"punt_bench_pipe_{threads}")

@@ -290,10 +290,13 @@ def simhash16_native(
     behavior for production near-dup; this one exists so the correctness
     gate can value-check simhash semantics end-to-end.)
     """
+    # filter(x != '') matches Python str.split() semantics: a whitespace-only
+    # document tokenizes to [] — Spark's split(trim('')) would yield ['']
+    # and hash the empty token (hypothesis-caught edge case).
     hv = F.expr(
-        "transform(array_distinct(split(lower(trim("
+        "transform(filter(array_distinct(split(lower(trim("
         + text_col
-        + ")), '\\\\s+')),"
+        + ")), '\\\\s+')), t -> t != ''),"
         " t -> cast(conv(substring(md5(cast(t as binary)), 1, 4), 16, 10)"
         " as int))"
     )

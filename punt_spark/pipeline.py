@@ -236,9 +236,20 @@ class Pipeline:
                 F.col("parsed.error").alias("parse_error"),
             ).cache()
             # Materialize BEFORE the concurrent sink writes — cold cache +
-            # parallel consumers would duplicate the parse work.
+            # parallel consumers would duplicate the parse work. When
+            # metrics are on, the materialization ACTION doubles as the one
+            # counter Spark can't observe statically: the per-(chunk, tag)
+            # breakdown of the arbitrary-tag bucket (catch-all rows when a
+            # '*' type exists, unhandled rows otherwise — tag values there
+            # are data-dependent, so no plan-time when/sum enumeration is
+            # possible). A full-scan aggregate materializes every cached
+            # partition exactly like count() does, so this costs zero
+            # additional jobs.
             with m.timing("parse_latency", glabel):
-                cached.count()
+                if self.collect_metrics:
+                    self._record_scan_stats(cached, glabel)
+                else:
+                    cached.count()
             errors = cached.filter(~F.col("parse_ok")).select(
                 F.col(CHUNK_COL),
                 F.col("raw_text").alias("data"),
@@ -251,31 +262,31 @@ class Pipeline:
             )
             # Broadcast route join — cheap to recompute per consumer.
             routed, unhandled = route(envelope, self._routes, job_id=cfg.job_id)
-            stats_future = None
-            stats_pool = None
             try:
-                # ONE fused aggregation job yields every row-level counter
-                # for the whole group: msgs.received / unhandled / failed /
-                # processed per (chunk, tag) AND per-partition lineage —
-                # what used to be 2 global + 2-3 per-sink collect() jobs.
-                # Inserted counts and per-(route_key, ts_day) lineage come
-                # from the commit manifests (parquet footers) below, so
-                # metrics collection adds exactly one Spark job per group —
-                # submitted CONCURRENTLY with the sink writes (it reads the
-                # same warm cache), so its latency hides behind the writes.
-                if self.collect_metrics:
-                    if self.parallel_sink_writes and not fail_hook:
-                        stats_pool = ThreadPoolExecutor(max_workers=1)
-                        stats_future = stats_pool.submit(
-                            self._record_group_stats, routed, unhandled, glabel
-                        )
-                    else:
-                        self._record_group_stats(routed, unhandled, glabel)
-
+                # Row-level counters ride jobs that run anyway: each
+                # static-tag sink's per-chunk received/failed sums sit on
+                # its pre-transform frame as observation metrics
+                # (CollectMetrics nodes — Spark never pushes filters through
+                # them), evaluated by the sink's own write job; lineage and
+                # the arbitrary-tag bucket rode the cache-materialization
+                # aggregate above; inserted counts and per-(route_key,
+                # ts_day) lineage come from the commit manifests (parquet
+                # footers) below. Metrics collection adds ZERO Spark jobs.
                 alert_events: dict[str, list] = {a.name: [] for a in cfg.alerts}
+                static_sink = {
+                    t.sink_name: t.name != "*" for t in cfg.types.values()
+                }
 
                 def write_sink(t: TypeConfig):
                     sub = routed.filter(F.col("sink") == t.sink_name)
+                    obs = None
+                    # Static-tag sinks (every row's tag == t.name): observe
+                    # per-chunk received + unpack-failure counts on the
+                    # pre-transform frame — they ride the write job free.
+                    # The catch-all sink's per-tag counts were recorded by
+                    # the cache-materialization aggregate instead.
+                    if self.collect_metrics and static_sink[t.sink_name]:
+                        obs, sub = self._observe_sink_counters(sub, t, group)
                     transformed, _failed = apply_transformer(sub, t)
                     enriched = apply_mutators(transformed, t.mutators, self.lookups)
                     final = enriched.drop(
@@ -294,7 +305,7 @@ class Pipeline:
                         manifests = self.sinks[t.sink_name].commit_batch(
                             out, batch_id=gid, chunks=group,
                         )
-                    return t, enriched, manifests
+                    return t, enriched, manifests, obs, sub
 
                 results = []
                 types = list(cfg.types.values())
@@ -309,12 +320,14 @@ class Pipeline:
                                 "simulated crash after first sink commit"
                             )
 
-                for t, enriched, manifests in results:
+                for t, enriched, manifests, obs, sub in results:
                     if self.collect_metrics:
                         for c, man in manifests.items():
                             n = man.get("lineage", {}).get("n_rows", 0)
                             if n:
                                 m.count("msgs.inserted", c, n, tag=t.sink_name)
+                        if obs is not None:
+                            self._record_observed_counters(obs, t, group, sub)
                     for a in cfg.alerts:
                         ev = matched_events(enriched, a, t.name)
                         if ev is not None:
@@ -329,10 +342,6 @@ class Pipeline:
                         n = man.get("lineage", {}).get("n_rows", 0)
                         if n:
                             m.count("parse_errors", c, n)
-
-                if stats_future is not None:
-                    stats_future.result()
-                    stats_pool.shutdown()
 
                 all_alerts = rollup_all(alert_events, cfg.alerts)
                 if all_alerts is not None:
@@ -349,8 +358,6 @@ class Pipeline:
                         )
                     all_alerts.unpersist()
             finally:
-                if stats_pool is not None:
-                    stats_pool.shutdown(wait=False)
                 cached.unpersist()
 
         for chunk in group:
@@ -358,69 +365,79 @@ class Pipeline:
                 chunk, {"chunk": chunk, "group": gid, "committed_at": time.time()}
             )
 
-    def _record_group_stats(self, routed, unhandled, glabel: str):
-        """One aggregation over the cached parse output records every
-        per-(chunk, tag) counter the reference keeps (cluster.go:249-319):
+    def _record_scan_stats(self, cached: DataFrame, glabel: str):
+        """The counters only the parse scan can supply, recorded by the
+        CACHE-MATERIALIZATION action itself (a full-scan grouped aggregate
+        computes every cached partition exactly like ``count()`` would, so
+        this costs zero additional jobs):
 
-        * msgs.received  — rows dispatched to a sink
-        * msgs.unhandled — rows with no route and no '*'
-        * msgs.failed    — unpack-* rows whose content isn't a JSON object
-          (the exact json.Unmarshal failure condition, transformers.go:44)
-        * msgs.processed — received − failed
-        * lineage.routed.partition_rows — per-Spark-partition row counts
-          (spark_partition_id captured BEFORE the aggregation shuffle)
+        * ``lineage.routed.partition_rows`` — per-Spark-partition routed row
+          counts (north_rule lineage; ``spark_partition_id`` is captured
+          before the aggregation shuffle and is identical to the pid the
+          downstream narrow route join sees);
+        * the arbitrary-tag bucket, whose tag values are data-dependent and
+          so can never ride a plan-time observation: with a '*' type,
+          ``msgs.received/processed[/failed]`` per (chunk, tag) for
+          catch-all-routed rows (tag ∉ static type names); without one,
+          ``msgs.unhandled`` per (chunk, tag) (cluster.go:258-262).
+
+        Static-tag sink counters are NOT computed here — they ride each
+        sink's own write job as observation metrics (see
+        ``_observe_sink_counters``), keeping this scan free of the unpack
+        JSON check for all statically-routed rows.
         """
         from .transform import json_ok
 
         m = self.metrics
-        # Evaluate the JSON-object check ONLY for rows routed through an
-        # unpack transformer — direct rows can't fail, and from_json over
-        # the whole corpus would roughly double this job's cost.
-        ok = F.when(
-            F.col("transformer").isin("unpack-merge", "unpack-take"),
-            json_ok(),
-        ).otherwise(F.lit(True))
-        r = routed.select(
-            F.spark_partition_id().alias("pid"),
-            F.col(CHUNK_COL),
-            F.col("tag"),
-            F.col("transformer"),
-            ok.alias("ok"),
+        cfg = self.cfg
+        static_tags = [t.name for t in cfg.types.values() if t.name != "*"]
+        catch = cfg.catchall
+        is_static = F.col("tag").isin(static_tags)
+        # The unpack JSON check (the json.Unmarshal failure the reference
+        # counts, transformers.go:44) applies to dynamic-tag rows only when
+        # the catch-all type itself unpacks — evaluate it only then.
+        check_json = catch is not None and catch.transformer in (
+            "unpack-merge", "unpack-take",
         )
-        u = unhandled.select(
-            F.spark_partition_id().alias("pid"),
-            F.col(CHUNK_COL),
-            F.col("tag"),
-            F.lit(None).cast("string").alias("transformer"),
-            F.lit(True).alias("ok"),
-        )
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if check_json:
+            aggs.append(
+                F.sum(
+                    F.when(~is_static & ~json_ok(), 1).otherwise(0)
+                ).alias("n_fail")
+            )
         stats = (
-            r.unionByName(u)
-            .groupBy("pid", CHUNK_COL, "tag", "transformer", "ok")
-            .count()
+            cached.filter(F.col("parse_ok"))
+            .groupBy(
+                F.spark_partition_id().alias("pid"),
+                F.col(CHUNK_COL),
+                F.col("tag"),
+            )
+            .agg(*aggs)
             .collect()
         )
-        received: dict[tuple, int] = {}
-        failed: dict[tuple, int] = {}
+        static_set = set(static_tags)
+        dyn: dict[tuple, list[int]] = {}
         lineage: dict[int, int] = {}
-        for row in stats:
-            key = (row[CHUNK_COL], row["tag"])
-            n = int(row["count"])
-            if row["transformer"] is None:  # unhandled side
-                m.count("msgs.unhandled", key[0], n, tag=key[1])
+        for r in stats:
+            n = int(r["n"])
+            routed_row = r["tag"] in static_set or catch is not None
+            if routed_row:
+                lineage[r["pid"]] = lineage.get(r["pid"], 0) + n
+            if r["tag"] in static_set:
+                continue  # static counters ride the sink write jobs
+            acc = dyn.setdefault((r[CHUNK_COL], r["tag"]), [0, 0])
+            acc[0] += n
+            acc[1] += int(r["n_fail"]) if check_json else 0
+        for (c, tag), (n, n_fail) in sorted(dyn.items()):
+            if catch is None:
+                m.count("msgs.unhandled", c, n, tag=tag)
                 continue
-            received[key] = received.get(key, 0) + n
-            lineage[row["pid"]] = lineage.get(row["pid"], 0) + n
-            if row["transformer"] in ("unpack-merge", "unpack-take") and not row["ok"]:
-                failed[key] = failed.get(key, 0) + n
-        for (c, tag), n in received.items():
             m.count("msgs.received", c, n, tag=tag)
-        for (c, tag), n in failed.items():
-            m.count("msgs.failed", c, n, tag=tag)
-        for (c, tag), n in received.items():
-            p = n - failed.get((c, tag), 0)
-            if p:
-                m.count("msgs.processed", c, p, tag=tag)
+            if n_fail:
+                m.count("msgs.failed", c, n_fail, tag=tag)
+            if n - n_fail:
+                m.count("msgs.processed", c, n - n_fail, tag=tag)
         for pid, n in sorted(lineage.items()):
             m.rows.append(
                 {
@@ -430,6 +447,69 @@ class Pipeline:
                     "value": n,
                 }
             )
+
+    @staticmethod
+    def _sink_counter_exprs(t: TypeConfig, group) -> list:
+        """Per-chunk received/failed aggregate expressions for one
+        static-tag sink's pre-transform frame."""
+        from .transform import json_ok
+
+        exprs = []
+        for c in group:
+            exprs.append(
+                F.coalesce(
+                    F.sum(F.when(F.col(CHUNK_COL) == c, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias(f"recv|{c}")
+            )
+        if t.transformer in ("unpack-merge", "unpack-take"):
+            bad = ~json_ok()
+            for c in group:
+                exprs.append(
+                    F.coalesce(
+                        F.sum(
+                            F.when((F.col(CHUNK_COL) == c) & bad, 1).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ).alias(f"fail|{c}")
+                )
+        return exprs
+
+    def _observe_sink_counters(self, sub: DataFrame, t: TypeConfig, group):
+        """Attach per-chunk received/failed observation metrics to a
+        static-tag sink's pre-transform frame. The CollectMetrics node
+        evaluates during the sink's own write job — the counters are free.
+        Returns (Observation, observed_df)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return obs, sub.observe(obs, *self._sink_counter_exprs(t, group))
+
+    def _record_observed_counters(self, obs, t: TypeConfig, group, sub):
+        """Fold a sink write's observation into msgs.received/failed/
+        processed per (chunk, tag=t.name) — cluster.go:249-277 semantics."""
+        m = self.metrics
+        try:
+            # latched by the completed write job; never blocks here
+            vals = obs.get
+        except Exception:
+            # When the sink's shuffle stage outputs ZERO rows (empty sub, or
+            # every row dropped by the unpack transformer), AQE's
+            # empty-relation propagation prunes the CollectMetrics node from
+            # the final plan and the observation latches a schema-less row
+            # that the Py4J row conversion rejects. Recompute the same
+            # aggregates directly — this reads the warm parse cache and only
+            # fires for (near-)empty sinks, so it stays off the hot path.
+            vals = sub.agg(*self._sink_counter_exprs(t, group)).first().asDict()
+        for c in group:
+            n = int(vals.get(f"recv|{c}", 0) or 0)
+            n_fail = int(vals.get(f"fail|{c}", 0) or 0)
+            if n:
+                m.count("msgs.received", c, n, tag=t.name)
+            if n_fail:
+                m.count("msgs.failed", c, n_fail, tag=t.name)
+            if n - n_fail:
+                m.count("msgs.processed", c, n - n_fail, tag=t.name)
 
     def _write_metrics(self):
         pdf = self.metrics.to_pandas()
