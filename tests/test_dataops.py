@@ -502,10 +502,58 @@ def test_multimodal_resize_and_frames(spark):
     assert len(frames) == expect
 
 
-def test_multimodal_real_mode_is_stubbed(spark):
-    media = multimodal.synth_media_df(spark, n=3)
-    with pytest.raises(Exception, match="NotImplementedError|real codec"):
-        multimodal.extract_features(media, decode_mode="real").collect()
+def test_bmp_codec_roundtrip():
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (5, 3), (16, 16), (7, 33)]:  # odd widths hit row padding
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.bmp_decode(multimodal.bmp_encode(arr)), arr)
+
+
+def test_wav_codec_roundtrip():
+    rate = 8000
+    t = np.arange(rate // 4) / rate
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    got, got_rate = multimodal.wav_decode(multimodal.wav_encode(x, rate))
+    assert got_rate == rate
+    assert len(got) == len(x)
+    assert np.allclose(got, x, atol=1e-3)  # 16-bit quantization
+
+
+def test_multimodal_real_decode(spark):
+    media = multimodal.synth_real_media_df(spark, n=24)
+    feats = multimodal.extract_features(media, dim=16, decode_mode="real").toPandas()
+    by_kind = feats.groupby("kind")["decode_ok"].all()
+    assert by_kind["audio"] and by_kind["image"]
+    # video has no codec in this container — per-row error, not a job abort
+    vids = feats[feats["kind"] == "video"]
+    assert (~vids["decode_ok"]).all()
+    assert vids["decode_error"].str.contains("ffmpeg").all()
+    ok = feats[feats["decode_ok"]]
+    assert all(len(v) == 16 for v in ok["feat"])
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in ok["feat"])
+
+
+def test_multimodal_real_resize(spark):
+    media = multimodal.synth_real_media_df(spark, n=24)
+    thumbs = multimodal.resize_images(media, max_side=16, decode_mode="real").toPandas()
+    assert len(thumbs) == media.filter(F.col("kind") == "image").count()
+    assert thumbs["decode_ok"].all()
+    assert (thumbs[["thumb_w", "thumb_h"]].max(axis=1) <= 16).all()
+    # thumbnails are themselves valid BMPs with the recorded dimensions
+    for _, r in thumbs.iterrows():
+        arr = multimodal.bmp_decode(bytes(r["thumb"]))
+        assert arr.shape == (r["thumb_h"], r["thumb_w"], 3)
+
+
+def test_multimodal_real_mode_opaque_payloads(spark):
+    # opaque random bytes: every row records a decode error, nothing raises
+    media = multimodal.synth_media_df(spark, n=6)
+    feats = multimodal.extract_features(media, decode_mode="real").toPandas()
+    assert (~feats["decode_ok"]).all()
+    assert feats["decode_error"].notna().all()
+    # video frame extraction stays honestly stubbed (needs ffmpeg)
+    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
+        multimodal.sample_frames(media, decode_mode="real").collect()
 
 
 # --- corpus curation (composed pipeline) -------------------------------------------------
