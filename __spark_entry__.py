@@ -150,6 +150,17 @@ def q_tail_filter(spark, sf_dir):
     ).select("event_id", "user_id", "value")
 
 
+def q_tail_sample(spark, sf_dir):
+    """F3: tail percentage sampling (control.go:129-133), deterministic
+    variant: md5-bucket over the row identity instead of the reference's
+    rand.Intn — reproducible across engines, so DuckDB replays the exact
+    row selection (same construction as hash_split)."""
+    from punt_spark.tail import tail
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return tail(e, filters={"event_type": "click"}, sample_pct=30)
+
+
 def q_retention_topk(spark, sf_dir):
     """R9: keep-N retention — newest 2 day-buckets, lexicographic ==
     chronological (gc.go:29-37)."""
@@ -656,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unixtime_mutator": q_unixtime_mutator,
         "window_rollup": q_window_rollup,
         "tail_filter": q_tail_filter,
+        "tail_sample": q_tail_sample,
         "retention_topk": q_retention_topk,
         "tag_metrics": q_tag_metrics,
         "lookup_enrich": q_lookup_enrich,
@@ -783,6 +795,14 @@ def oracle_sql() -> dict[str, str]:
         "tail_filter": """
             SELECT event_id, user_id, value FROM events
             WHERE event_type = 'purchase' AND value > 100.0
+        """,
+        "tail_sample": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type = 'click'
+              AND ('0x' || substr(md5(concat('tail42', chr(31),
+                        concat_ws(chr(31), CAST(event_id AS VARCHAR),
+                                  CAST(user_id AS VARCHAR), event_type))),
+                        1, 8))::BIGINT % 100 < 30
         """,
         "retention_topk": """
             SELECT ts_day FROM (

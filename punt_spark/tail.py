@@ -14,8 +14,31 @@ from __future__ import annotations
 from functools import reduce
 from operator import and_
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def sample_bucket(df: DataFrame, seed: int = 42) -> Column:
+    """Deterministic percentage bucket in [0, 100) from the row's stable
+    identity: md5 — the Spark/DuckDB-shared hash, so an ANSI-SQL oracle can
+    replay the exact selection (same construction as
+    ``dataops.sampling.hash_bucket``). Identity is (conv_id, turn_idx) when
+    present, else all columns; NULLs hash as a sentinel so null-key rows
+    are sampled too instead of silently dropping."""
+    keys = (
+        ["conv_id", "turn_idx"]
+        if {"conv_id", "turn_idx"}.issubset(df.columns)
+        else list(df.columns)
+    )
+    id_str = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
+            for k in keys
+        ],
+    )
+    h = F.md5(F.concat(F.lit(f"tail{seed}\x1f"), id_str).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100
 
 
 def tail(
@@ -23,16 +46,21 @@ def tail(
     filters: dict[str, str] | None = None,
     sample_pct: int = 100,
     seed: int = 42,
+    sample_mode: str = "hash",
 ) -> DataFrame:
     """Field-equality conjunction (control.go:114-126; values compared as
     strings, matching the reference's string-field comparison) + percentage
     sample (control.go:129-133).
 
-    On a batch frame the sample is Spark's seeded Bernoulli sample; on a
-    STREAMING frame (``live_tail``) ``sample()`` is unsupported, so the
-    same ~pct% selection is a deterministic hash filter over the row's
-    stable identity ((conv_id, turn_idx) when present, else all columns) —
-    stable across micro-batch retries, unlike the reference's rand.Intn."""
+    ``sample_mode="hash"`` (default, batch AND streaming): a deterministic
+    md5 bucket over the row's stable identity — reproducible across
+    re-runs, partitionings, engines, and micro-batch retries. DOCUMENTED
+    DIVERGENCE from the reference's ``rand.Intn`` per-row RNG: determinism
+    is strictly more useful for a tail you might replay, and it is the only
+    semantics a streaming retry can honor. ``sample_mode="engine"`` keeps
+    Spark's seeded Bernoulli sample for reference-faithful RNG behavior
+    (batch frames only — streams cannot ``sample()``).
+    """
     out = df
     if filters:
         cond = reduce(
@@ -41,17 +69,10 @@ def tail(
         )
         out = out.filter(cond)
     if sample_pct < 100:
-        if df.isStreaming:
-            keys = (
-                ["conv_id", "turn_idx"]
-                if {"conv_id", "turn_idx"}.issubset(df.columns)
-                else list(df.columns)
-            )
-            bucket = F.pmod(
-                F.xxhash64(*[F.col(k) for k in keys], F.lit(seed)),
-                F.lit(100),
-            )
-            out = out.filter(bucket < sample_pct)
-        else:
+        if sample_mode == "hash" or df.isStreaming:
+            out = out.filter(sample_bucket(df, seed) < sample_pct)
+        elif sample_mode == "engine":
             out = out.sample(fraction=sample_pct / 100.0, seed=seed)
+        else:
+            raise ValueError(f"unknown sample_mode {sample_mode!r}")
     return out
