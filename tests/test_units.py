@@ -1,5 +1,7 @@
 """Unit tests for the individual operator modules + property tests."""
 
+import os
+
 import pandas as pd
 import pytest
 from hypothesis import given, settings
@@ -321,6 +323,35 @@ def test_partition_spec_is_immutable(spark, tmp_path):
     tbl.commit(df, "s2")  # same spec: fine (idempotent re-commit too)
     with pytest.raises(ValueError, match="partition spec mismatch"):
         tbl.commit(df, "s3", partition_cols=[])
+    # the spec is cached in ONE table-level file → O(1) per commit
+    assert os.path.exists(tbl._spec_path)
+
+
+def test_partition_spec_legacy_migration(spark, tmp_path):
+    """Tables written before _spec.json existed: the first commit scans ALL
+    manifests (a mixed-spec table must fail here, not at read time) and
+    then writes the spec file."""
+    import json as _json
+
+    from punt_spark.sink import SnapshotTable
+
+    df = spark.createDataFrame(
+        [("a", "r1", "d1")], "conv_id string, route_key string, ts_day string"
+    )
+    tbl = SnapshotTable(str(tmp_path / "legacy_tbl"))
+    tbl.commit(df, "s1")
+    os.remove(tbl._spec_path)  # simulate a pre-spec-file table
+    tbl.commit(df, "s2")  # migration: scan manifests, rewrite spec file
+    assert os.path.exists(tbl._spec_path)
+
+    mixed = SnapshotTable(str(tmp_path / "mixed_tbl"))
+    for sid, pc in (("s1", ["route_key"]), ("s2", ["route_key", "ts_day"])):
+        with open(os.path.join(mixed.snap_dir, f"{sid}.json"), "w") as f:
+            _json.dump(
+                {"snapshot_id": sid, "partition_cols": pc, "files": []}, f
+            )
+    with pytest.raises(ValueError, match="MIXED partition specs"):
+        mixed.commit(df, "s3")
 
 
 def test_enforce_mapping(spark):
