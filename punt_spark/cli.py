@@ -5,6 +5,8 @@ State.Run). Usage:
 
     python -m punt_spark.cli --input DIR --out DIR [--config cfg.json]
         [--native-parse] [--no-resume] [--retention] [--master local[N]]
+    python -m punt_spark.cli --out DIR --tail SINK[,SINK...] [--follow]
+        [--retention-interval SEC] [--limit N] [--sample PCT]
 
 ``--input`` is a directory containing transcripts.parquet (+ optional
 lookup_tool.parquet / lookup_role.parquet), or a path to a parquet file.
@@ -62,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--follow-sec", type=int, default=0,
                     help="with --follow: stop after N seconds (0 = until "
                     "interrupted)")
+    ap.add_argument("--retention-interval", type=float, default=0,
+                    metavar="SEC",
+                    help="with --follow: run keep-N partition GC every SEC "
+                    "seconds while tailing (the reference's 15-minute "
+                    "gcIndexes ticker, cluster.go:112-128)")
     args = ap.parse_args(argv)
 
     if args.tail:
@@ -86,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         if args.follow:
+            import threading as _threading
             import time as _time
 
             from .streaming import live_tail
@@ -97,49 +105,80 @@ def main(argv: list[str] | None = None) -> int:
                 if args.follow_sec > 0
                 else None
             )
-            # a subscription attaches before data exists (the reference's
-            # control socket accepts tails regardless)
-            while any(t.read(spark) is None for t in tables):
-                if deadline is not None and _time.monotonic() > deadline:
-                    print("[]")
-                    return 0
-                print("waiting for first commit...", file=sys.stderr)
-                _time.sleep(1)
-
             printed = {"n": 0}
             limit = args.limit  # None = unbounded live tail
+            lock = _threading.Lock()
 
             def emit(batch_df, batch_id):
-                if limit is not None:
-                    remaining = limit - printed["n"]
-                    if remaining <= 0:
-                        return
-                    batch_df = batch_df.limit(remaining)
-                rows = batch_df.collect()
-                for r in rows:
-                    print(json.dumps(r.asDict(recursive=True), default=str),
-                          flush=True)
-                printed["n"] += len(rows)
+                with lock:
+                    if limit is not None:
+                        remaining = limit - printed["n"]
+                        if remaining <= 0:
+                            return
+                        batch_df = batch_df.limit(remaining)
+                    rows = batch_df.collect()
+                    for r in rows:
+                        print(
+                            json.dumps(r.asDict(recursive=True), default=str),
+                            flush=True,
+                        )
+                    printed["n"] += len(rows)
 
-            q = live_tail(
-                spark, tables, filters, args.sample,
-                follow=True, foreach_batch=emit,
-            )
+            ticker = None
+            if args.retention_interval > 0:
+                cfg = (
+                    PipelineConfig.from_json(args.config)
+                    if args.config
+                    else default_config()
+                )
+                ticker = Pipeline(spark, cfg, out_dir=args.out)\
+                    .retention_ticker(args.retention_interval).start()
+
+            # The subscription attaches to each sink table AS SOON AS it has
+            # a first commit (ONE streaming query per table, fanned in at
+            # the print level like punt-cli's multi-host tail) — a sink that
+            # is never written must not starve the tables that do have data
+            # (the reference's control socket accepts tails regardless of
+            # data). Per-table queries also let late tables join the running
+            # session without replaying the already-attached ones.
+            pending = dict(zip(names, tables))
+            queries: list = []
+            waiting_logged = False
             try:
-                while q.isActive:
+                while True:
+                    for nm in list(pending):
+                        if pending[nm].read(spark) is not None:
+                            queries.append(
+                                live_tail(
+                                    spark, pending.pop(nm), filters,
+                                    args.sample, follow=True,
+                                    foreach_batch=emit,
+                                    query_name=f"punt_tail_{nm}",
+                                )
+                            )
+                    if not queries and not waiting_logged:
+                        print("waiting for first commit...", file=sys.stderr)
+                        waiting_logged = True
                     if limit is not None and printed["n"] >= limit:
                         break
                     if deadline is not None and _time.monotonic() > deadline:
                         break
+                    for q in queries:
+                        # a stream that died on its own carries the error —
+                        # surface it instead of exiting 0 on a failed tail
+                        exc = q.exception()
+                        if exc is not None:
+                            raise exc
                     _time.sleep(0.5)
-                # a stream that died on its own carries the error — surface
-                # it instead of exiting 0 on a failed tail
-                exc = q.exception()
-                if exc is not None:
-                    raise exc
-                q.stop()
             except KeyboardInterrupt:
-                q.stop()
+                pass
+            finally:
+                for q in queries:
+                    q.stop()
+                if ticker is not None:
+                    ticker.stop()
+            if not queries:
+                print("[]")
             return 0
         frames = [t.read(spark) for t in tables]
         frames = [f for f in frames if f is not None]

@@ -529,6 +529,44 @@ class Pipeline:
                     expired.setdefault(g.prefix, []).extend(dropped)
         return expired
 
+    def retention_ticker(self, interval_sec: float) -> "RetentionTicker":
+        """Scheduled retention — the reference runs keep-N GC on a
+        15-minute ticker inside the cluster worker (cluster.go:112-128);
+        this is the same loop as a daemon thread, for use alongside a live
+        tail / streaming session (CLI ``--retention-interval``)."""
+        return RetentionTicker(self, interval_sec)
+
+
+class RetentionTicker:
+    """Daemon thread firing ``Pipeline.run_retention()`` every
+    ``interval_sec`` seconds (reference: gcIndexes ticker,
+    cluster.go:112-128). ``stop()`` is prompt — the wait is an Event, not a
+    sleep. Expired partitions accumulate in ``self.expired`` and each pass
+    increments ``self.fired``."""
+
+    def __init__(self, pipeline: Pipeline, interval_sec: float):
+        import threading
+
+        self.pipeline = pipeline
+        self.interval_sec = interval_sec
+        self.fired = 0
+        self.expired: list[dict[str, list[str]]] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        while not self._stop.wait(self.interval_sec):
+            self.expired.append(self.pipeline.run_retention())
+            self.fired += 1
+
+    def start(self) -> "RetentionTicker":
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=30)
+
 
 def load_lookups(spark: SparkSession, fixtures_dir: str) -> dict[str, DataFrame]:
     out = {}

@@ -320,3 +320,77 @@ def test_stateful_event_aligned_windows(spark, tmp_path):
     # the completed first window must be emitted (the trailing open window
     # stays in state until a later event closes it)
     assert ("2017-01-01 00:00:01", 2) in got
+
+
+def test_cli_follow_attaches_to_nonempty_subset(spark, tmp_path, capsys):
+    """--tail A,B --follow must not starve: a never-written sink in the
+    comma list cannot block rows from the sinks that do have data (the
+    reference's control socket accepts tails regardless of data)."""
+    import pandas as pd
+    from punt_spark import cli
+    from punt_spark.sink import SnapshotTable
+
+    out = str(tmp_path / "cli_out")
+    tbl = SnapshotTable(os.path.join(out, "sink_logs"))
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c1"],
+            "turn_idx": [0, 1],
+            "tag": ["logs", "logs"],
+            "route_key": ["logs-2017.03.14.04"] * 2,
+            "ts_day": ["2017-03-14"] * 2,
+        }
+    )
+    tbl.commit(spark.createDataFrame(pdf), snapshot_id="s1")
+    # sink_never under the same out root is never written
+    rc = cli.main(
+        [
+            "--out", out, "--tail", "sink_logs,sink_never",
+            "--follow", "--follow-sec", "45", "--limit", "2",
+        ]
+    )
+    assert rc == 0
+    lines = [
+        ln for ln in capsys.readouterr().out.splitlines() if ln.startswith("{")
+    ]
+    assert len(lines) == 2  # rows arrived despite the empty second sink
+
+
+def test_retention_ticker(spark, tmp_path):
+    """Scheduled retention (reference gcIndexes ticker, cluster.go:112-128):
+    commits spanning more route_key buckets than keep-N, the ticker fires,
+    the oldest partition dirs are gone and manifests are rewritten."""
+    import time
+
+    import pandas as pd
+    from punt_spark.config import GCConfig, PipelineConfig, TypeConfig
+
+    cfg = PipelineConfig(
+        types={"logs": TypeConfig(name="logs", prefix="logs-")},
+        gc=[GCConfig(prefix="logs-", keep=1)],
+    )
+    pipe = Pipeline(spark, cfg, out_dir=str(tmp_path / "gc_out"))
+    tbl = pipe.sinks["sink_logs"]
+    for i, rk in enumerate(["logs-2017.03.13.01", "logs-2017.03.14.02"]):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [f"c{i}"],
+                "route_key": [rk],
+                "ts_day": [rk[5:15].replace(".", "-")],
+            }
+        )
+        tbl.commit(spark.createDataFrame(pdf), snapshot_id=f"s{i}")
+    assert len(tbl.partitions("logs-")) == 2
+    ticker = pipe.retention_ticker(0.2).start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and ticker.fired == 0:
+            time.sleep(0.1)
+    finally:
+        ticker.stop()
+    assert ticker.fired >= 1
+    assert any(e.get("logs-") == ["logs-2017.03.13.01"] for e in ticker.expired)
+    assert tbl.partitions("logs-") == ["logs-2017.03.14.02"]
+    # manifests rewritten: expired files absent from every snapshot
+    for m in tbl.snapshots().values():
+        assert all("logs-2017.03.13.01" not in f for f in m["files"])
