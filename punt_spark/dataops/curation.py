@@ -40,9 +40,10 @@ def curate_corpus(
     low_quality | repetition | lang | contaminated | exact_dup | near_dup.
     Optional stages activate with their arguments: ``max_repetition`` gates
     on the Gopher-style repetition ratio, ``benchmark`` drops test-set
-    n-gram overlap (broadcast anti-join), ``redact=True`` rewrites the
-    retained text with PII placeholders as the final pass (redaction is
-    last so dedup hashes see the original bytes).
+    n-gram overlap (broadcast anti-join), ``redact=True`` rewrites
+    ``text_col`` IN PLACE with PII placeholders as the final pass
+    (redaction is last so dedup hashes see the original bytes; in place so
+    no consumer of the retained frame can export un-redacted text).
     """
     scored = with_quality(docs, text_col)
     if max_repetition is not None:
@@ -115,7 +116,10 @@ def curate_corpus(
     )
 
     if redact:
-        retained = redact_pii(retained, text_col, out=text_col + "_redacted")
+        # in place: a consumer exporting text_col must never ship PII —
+        # keeping the original next to a *_redacted column would silently
+        # leak it through every downstream select("text")
+        retained = redact_pii(retained, text_col, out=text_col)
 
     removed = removed_frames[0]
     for f in removed_frames[1:]:

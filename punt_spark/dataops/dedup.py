@@ -317,40 +317,69 @@ def simhash16_native(
 
 
 def _simhash_batch(texts: pd.Series, bits: int = 64) -> pd.Series:
-    """SimHash over an Arrow batch, vectorized per batch: every token in
-    the batch is hashed ONCE (blake2b, C-speed, deduplicated through a
-    batch-wide vocabulary), then the per-doc bit votes and signature
-    assembly are pure numpy — no per-bit Python loop."""
+    """SimHash over an Arrow batch, fully vectorized: every distinct token
+    in the batch is hashed ONCE (blake2b, deduplicated through a batch-wide
+    vocabulary), the vocabulary's bit matrix is expanded once, and the
+    per-document bit votes are ``np.add.reduceat`` segment sums over the
+    flat token stream — no per-document Python loop. Documents are grouped
+    into token-bounded sub-batches so the (tokens × bits) expansion stays
+    ~60 MB regardless of batch size."""
     import hashlib
 
     masks = np.uint64(1) << np.arange(bits, dtype=np.uint64)
-    # batch-wide vocabulary: token → uint64 hash, computed once per token
     tok_lists = [
         t.lower().split() if isinstance(t, str) and t else []
         for t in texts
     ]
-    vocab: dict[str, np.uint64] = {}
+    # batch-wide vocabulary: token → index; each distinct token hashed once
+    vocab: dict[str, int] = {}
+    hashes: list[int] = []
+    flat_idx: list[int] = []
     for toks in tok_lists:
         for tok in toks:
-            if tok not in vocab:
-                vocab[tok] = np.uint64(
+            i = vocab.get(tok)
+            if i is None:
+                i = len(vocab)
+                vocab[tok] = i
+                hashes.append(
                     int.from_bytes(
-                        hashlib.blake2b(
-                            tok.encode(), digest_size=8
-                        ).digest(),
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
                         "big",
                     )
                 )
+            flat_idx.append(i)
     out = np.zeros(len(texts), dtype=np.int64)
-    for i, toks in enumerate(tok_lists):
-        if not toks:
-            continue
-        hs = np.fromiter(
-            (vocab[tok] for tok in toks), dtype=np.uint64, count=len(toks)
-        )
-        votes = ((hs[:, None] & masks[None, :]) != 0).sum(axis=0) * 2 - len(hs)
-        sig = ((votes > 0) * masks).sum(dtype=np.uint64)
-        out[i] = np.int64(sig.astype(np.int64))
+    if not flat_idx:
+        return pd.Series(out)
+    lengths = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    csum = np.concatenate([[0], np.cumsum(lengths)])
+    vocab_bits = (
+        np.asarray(hashes, dtype=np.uint64)[:, None] & masks[None, :]
+    ) != 0  # (V, bits)
+    flat = np.asarray(flat_idx, dtype=np.int64)
+    max_tok_per_sub = 250_000  # × bits × 4 B ≈ 60 MB peak
+    doc_start = 0
+    n = len(texts)
+    while doc_start < n:
+        doc_end = doc_start + 1
+        while (
+            doc_end < n
+            and csum[doc_end + 1] - csum[doc_start] <= max_tok_per_sub
+        ):
+            doc_end += 1
+        seg_docs = np.arange(doc_start, doc_end)
+        live = lengths[seg_docs] > 0  # reduceat mishandles empty segments
+        lo, hi = csum[doc_start], csum[doc_end]
+        if hi > lo and live.any():
+            tok_bits = vocab_bits[flat[lo:hi]].astype(np.int32)
+            starts = (csum[seg_docs] - lo)[live]
+            ones = np.add.reduceat(tok_bits, starts, axis=0)
+            votes = 2 * ones - lengths[seg_docs][live][:, None]
+            sigs = ((votes > 0).astype(np.uint64) * masks).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[seg_docs[live]] = sigs.astype(np.int64)
+        doc_start = doc_end
     return pd.Series(out)
 
 

@@ -88,6 +88,12 @@ def stratified_sample(
     keep fraction; unlisted strata keep ``default_rate``. The keep decision
     is a pure function of (id, salt): independent of partitioning,
     repeatable, and the same rows survive a backfill."""
+    for value, rate in {**rates, "<default_rate>": default_rate}.items():
+        if not 0.0 <= rate <= 1.0:
+            # a typo like 30 instead of 0.30 would silently keep 100%
+            raise ValueError(
+                f"rates must be in [0, 1]: {value!r} = {rate}"
+            )
     b = hash_bucket(id_col, salt, buckets)
     thresh = None
     for value, rate in rates.items():

@@ -200,13 +200,24 @@ def ivf_index(
     n_cells: int = 16,
     vec_col: str = "embedding",
     seed: int = 42,
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
+    max_train_rows: int = 1_000_000,
 ):
     """Train k-means centroids (the IVF coarse quantizer). Returns
-    (centroids: np.ndarray, assign(df) -> df+cell)."""
+    (centroids: np.ndarray, assign(df) -> df+cell).
+
+    The coarse quantizer only needs a REPRESENTATIVE sample, not the
+    corpus: by default (``sample_fraction=None``) the training set is a
+    uniform sample capped at ``max_train_rows`` — at 100 TB, k-means over
+    every vector would dwarf the search itself for zero recall gain
+    (centroid positions converge long before 10⁶ points). Pass an explicit
+    ``sample_fraction`` to override; 1.0 trains on everything."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if sample_fraction is None:
+        n = vectors.count()
+        sample_fraction = min(1.0, max_train_rows / max(n, 1))
     train = vectors
     if sample_fraction < 1.0:
         train = vectors.sample(fraction=sample_fraction, seed=seed)
@@ -237,7 +248,13 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """IVF search: assign vectors to cells once; per query probe the
-    ``nprobe`` nearest cells only."""
+    ``nprobe`` nearest cells only.
+
+    Recall/cost knob: candidates scanned ≈ nprobe/n_cells of the corpus.
+    Recall loss comes only from true neighbors living in unprobed cells —
+    on clustered data nprobe=2..4 of 16 cells is typically ≥0.9 recall@10
+    (the pytest bound pins ≥0.8 at nprobe=2 of 4 on the synthetic mix);
+    raise nprobe toward n_cells to trade linearly back toward exact."""
     spark = vectors.sparkSession
     centroids, assign = ivf_index(vectors, n_cells, vec_col, seed)
     v_assigned = assign(vectors).select(id_col, vec_col, "cell")

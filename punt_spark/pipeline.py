@@ -109,6 +109,24 @@ class Pipeline:
         self.alerts_table = SnapshotTable(os.path.join(out_dir, "alerts"))
         self.actions_table = SnapshotTable(os.path.join(out_dir, "actions"))
         self._routes = routes_df(spark, self.cfg)
+        self._emit_ddl()
+
+    def _emit_ddl(self):
+        """Write each sink's CREATE TABLE DDL to ``<out>/_ddl/<sink>.sql``
+        at init — the reference pushes its index templates at startup
+        (type.go:63-97); a real deployment applies these files verbatim
+        against its Iceberg catalog (no catalog jars in this sandbox, so
+        the emission IS the binding, kept exact by the round-trip test
+        against every sink's written schema)."""
+        from .sink import sink_ddl
+
+        ddl_dir = os.path.join(self.out_dir, "_ddl")
+        os.makedirs(ddl_dir, exist_ok=True)
+        for sink_name, ddl in sink_ddl(self.cfg, self.frame_mode).items():
+            tmp = os.path.join(ddl_dir, f".{sink_name}.sql.tmp")
+            with open(tmp, "w") as f:
+                f.write(ddl + "\n")
+            os.replace(tmp, os.path.join(ddl_dir, f"{sink_name}.sql"))
 
     # -- resume bookkeeping ----------------------------------------------------
 

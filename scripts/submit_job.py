@@ -31,14 +31,15 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
-        SparkSession.builder.appName("punt-spark-submit")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-        )
-        .getOrCreate()
-    )
+    # the SAME load-bearing settings the locally-tested session uses
+    # (timezone, ANSI-safe time parser, Arrow, AQE, codec) — a cluster
+    # deployment must not behave differently from the tested session
+    from punt_spark.session import SESSION_CONF
+
+    builder = SparkSession.builder.appName("punt-spark-submit")
+    for k, v in SESSION_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
 
     from punt_spark.config import PipelineConfig, default_config
     from punt_spark.pipeline import Pipeline, load_lookups

@@ -415,6 +415,30 @@ def test_ivf_topk_recall(vectors):
     assert hits / 25 >= 0.8  # nprobe=2 of 4 well-separated cells
 
 
+def test_ivf_bounded_training_sample(vectors):
+    """The default quantizer training set is capped (100 TB corpora must
+    not full-scan into k-means): a tiny max_train_rows still yields a
+    usable index — every vector gets a cell, recall stays above the
+    nprobe=all floor."""
+    df, pdf = vectors
+    centroids, assign = similarity.ivf_index(
+        df, n_cells=4, max_train_rows=20, seed=42
+    )
+    assert centroids.shape == (4, 16)
+    assigned = assign(df).toPandas()
+    assert len(assigned) == len(pdf)
+    assert assigned["cell"].between(0, 3).all()
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk(df, queries, k=5, n_cells=4, nprobe=4).toPandas()
+    want = _np_topk(pdf, range(5), 5)
+    hits = sum(
+        len(set(got[got.query_id == q]["vec_id"]) & set(want[q])) for q in range(5)
+    )
+    assert hits / 25 == 1.0  # nprobe == n_cells probes everything → exact
+
+
 # --- textstats -----------------------------------------------------------------------
 
 
@@ -610,7 +634,9 @@ def test_curate_corpus_full_stages(spark):
     assert removed[2] == "contaminated"
     ret = out["retained"].collect()
     assert {r["doc_id"] for r in ret} == {0, 3}
-    red = {r["doc_id"]: r["text_redacted"] for r in ret}
+    # redaction is IN PLACE: the retained frame's text column is safe to
+    # export directly
+    red = {r["doc_id"]: r["text"] for r in ret}
     assert "<EMAIL>" in red[0] and "a@b.io" not in red[0]
     stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
     assert sum(stats.values()) == len(rows)
@@ -661,3 +687,13 @@ def test_dup_clusters_transitive(spark):
     }
     assert 3 in kept and 0 in kept
     assert kept & {1, 2} == set() or len(kept) <= 3  # chain collapsed
+
+
+def test_stratified_sample_validates_rates(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, event_type string")
+    from punt_spark.dataops.sampling import stratified_sample
+
+    with pytest.raises(ValueError, match="rates must be in"):
+        stratified_sample(docs, "doc_id", "event_type", {"a": 30})
+    with pytest.raises(ValueError, match="rates must be in"):
+        stratified_sample(docs, "doc_id", "event_type", {"a": 0.3}, default_rate=-1)

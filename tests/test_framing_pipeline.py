@@ -1,6 +1,8 @@
 """Framing integrated into the pipeline (reference: per-server framing —
 newline TCP default, RFC6587 octet_counted option, config.json:17-25)."""
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -97,3 +99,8 @@ def test_sink_ddl(spark, tmp_path):
         assert ddl_cols == set(df.columns), (
             sink_name, ddl_cols ^ set(df.columns)
         )
+        # the same DDL is emitted to <out>/_ddl/<sink>.sql at init — a real
+        # deployment applies these files verbatim against its catalog
+        ddl_file = os.path.join(pipe.out_dir, "_ddl", f"{sink_name}.sql")
+        with open(ddl_file) as f:
+            assert f.read().strip() == stmt.strip(), ddl_file
