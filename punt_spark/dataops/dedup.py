@@ -82,14 +82,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<bigint>[num_hashes]). Permutation j = xxhash64 with a
     per-permutation prefix; min taken per-row over the shingle array —
-    shuffle-free."""
+    shuffle-free.
+
+    The per-permutation lambdas are SQL expressions, NOT Python
+    ``lambda``s: with many sibling Python-lambda higher-order functions in
+    one select, PySpark's generated lambda-variable names can cross-bind
+    between siblings, silently shifting which prefix each permutation
+    hashes — measured as session-order-dependent signatures (three
+    back-to-back calls returned three different h0 values, none matching
+    the hand-computed xxhash64 min). SQL-parsed lambdas scope their
+    variables correctly and are pinned deterministic by test."""
     d = with_shingles(df, text_col, shingle_n).filter(F.size("shingles") > 0)
     mins = [
-        F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s, j=j: F.xxhash64(F.concat(F.lit(f"{j}\x1f"), s)),
-            )
+        F.expr(
+            "array_min(transform(shingles,"
+            f" s -> xxhash64(concat('{j}\x1f', s))))"
         ).alias(f"h{j}")
         for j in range(num_hashes)
     ]

@@ -52,6 +52,27 @@ def test_minhash_identical_docs_equal_sigs(docs):
     assert list(sig.loc[0, "sig"]) != list(sig.loc[2, "sig"])
 
 
+def test_minhash_signatures_deterministic_and_exact(spark):
+    """Regression: with many sibling Python-lambda transforms in one
+    select, PySpark cross-bound the generated lambda variables, making
+    signatures depend on session history (identical-docs-equal-sigs still
+    held, so only a value pin catches it). The signature must equal the
+    hand-built SQL xxhash64 min, on every call."""
+    d = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    expected = spark.sql(
+        "SELECT transform(array('the quick brown','quick brown fox',"
+        "'brown fox jumps'), s -> array(xxhash64(concat('0\x1f', s)),"
+        " xxhash64(concat('1\x1f', s)), xxhash64(concat('2\x1f', s)),"
+        " xxhash64(concat('3\x1f', s)))) AS hs"
+    ).collect()[0]["hs"]
+    want = [min(h[j] for h in expected) for j in range(4)]
+    for _ in range(3):
+        got = dedup.minhash_signatures(d, num_hashes=4).collect()[0]["sig"]
+        assert list(got) == want
+
+
 def test_minhash_dedup_finds_near_dup(docs):
     pairs = dedup.minhash_dedup(docs, threshold=0.5).toPandas()
     got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
