@@ -485,6 +485,44 @@ def q_hash_split(spark, sf_dir):
     ).select("doc_id", "split")
 
 
+def q_source_cap(spark, sf_dir):
+    """Per-domain cap (crawl curation): keep ≤ 20 docs per source, survivor
+    choice deterministic by (md5 rank, doc_id) — partitioning-independent,
+    DuckDB-replayable."""
+    from punt_spark.dataops.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_group(d, "source", "doc_id", cap=20).select(
+        "doc_id", "source"
+    )
+
+
+def q_mixture_stats(spark, sf_dir):
+    """Training-mixture composition: per (lang, source) document count,
+    token sum, and share of the total token budget."""
+    from punt_spark.dataops.sampling import mixture_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_stats(d, ["lang", "source"]).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("token_share", 6).alias("token_share_r"),
+    )
+
+
+def q_idf_score(spark, sf_dir):
+    """Corpus-level informativeness: mean ln(N/df) over each document's
+    distinct tokens (boilerplate scores low, rare vocabulary high)."""
+    from punt_spark.dataops.textstats import with_idf_score
+
+    d = _t(spark, sf_dir, "documents")
+    return with_idf_score(d).select(
+        "doc_id", F.round("idf_score", 4).alias("idf_r")
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (domain re-weighting): per
     event_type keep rates from the same md5 bucket — a pure function of
@@ -694,6 +732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "source_cap": q_source_cap,
+        "mixture_stats": q_mixture_stats,
+        "idf_score": q_idf_score,
     }
 
 
@@ -999,6 +1040,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 20 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "source_cap": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)),
+                                    doc_id
+                       ) AS rn
+                FROM documents)
+            WHERE rn <= 20
+        """,
+        "mixture_stats": """
+            WITH per AS (
+                SELECT lang, source,
+                       COUNT(*) AS n_docs,
+                       CAST(SUM(CASE WHEN length(trim(text)) > 0
+                            THEN len(string_split_regex(trim(text), '\\s+'))
+                            ELSE 0 END) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY lang, source)
+            SELECT lang, source, n_docs, n_tokens,
+                   round(CAST(n_tokens AS DOUBLE) /
+                         (SELECT CAST(SUM(n_tokens) AS DOUBLE) FROM per), 6)
+                   AS token_share_r
+            FROM per
+        """,
+        "idf_score": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                  '\\s+')) AS tok
+                    FROM documents)
+                WHERE tok != ''
+            ), dfreq AS (
+                SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok
+            ), scores AS (
+                SELECT t.doc_id,
+                       avg(ln((SELECT CAST(COUNT(*) AS DOUBLE)
+                               FROM documents) / dfreq.df)) AS s
+                FROM tok t JOIN dfreq ON t.tok = dfreq.tok
+                GROUP BY t.doc_id)
+            SELECT d.doc_id, round(coalesce(scores.s, 0.0), 4) AS idf_r
+            FROM documents d LEFT JOIN scores ON d.doc_id = scores.doc_id
         """,
         "hash_split": """
             SELECT doc_id,

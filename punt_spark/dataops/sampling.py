@@ -12,7 +12,7 @@ column expressions: JVM-side, codegen, zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -105,3 +105,61 @@ def stratified_sample(
     default_t = F.lit(int(round(default_rate * buckets)))
     thresh = default_t if thresh is None else thresh.otherwise(default_t)
     return df.filter(b < thresh)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per ``group_col`` value — the per-domain
+    cap of crawl curation (one hot domain must not dominate the training
+    mixture). Which rows survive is deterministic: rank within the group by
+    (md5(salt || id), id), a stable pseudo-random preference independent of
+    partitioning and re-runs, so backfills keep the same rows.
+
+    Shape at scale: one shuffle on ``group_col`` + a partitioned window —
+    never a global sort. A pathologically hot group (10⁹ docs on one
+    domain) lands on one task; the fix at that extreme is a two-level
+    min-k (rank within (group, salt-bucket), take cap per bucket, re-rank
+    the S×cap survivors), which composes exactly because min-k of a union
+    is min-k of per-bucket min-k's.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    h = F.md5(F.concat(F.lit(salt), id_str).cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def mixture_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus composition: document count, whitespace-token sum,
+    and share of total tokens — the mixture-weights table every training
+    run starts from (what fraction of the token budget does each
+    (lang, source, ...) stratum contribute?). One map-side-combined
+    groupBy + a scalar total broadcast back; no window over the corpus."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.length(F.trim(F.col(text_col))) > 0, toks).otherwise(0)
+        ).alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / F.col("__t")).alias("token_share"),
+    )

@@ -185,3 +185,45 @@ def rolling_fingerprints(
             f"ELSE array() END"
         ),
     ).drop("__tokens")
+
+
+# --- corpus-level informativeness (IDF) ------------------------------------------
+
+
+def with_idf_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "idf_score",
+) -> DataFrame:
+    """Mean inverse-document-frequency of a document's distinct tokens — a
+    corpus-level informativeness signal (boilerplate-heavy documents score
+    low because their tokens appear everywhere; documents made of rare
+    vocabulary score high). idf(t) = ln(N / df(t)); score = mean over the
+    document's DISTINCT tokens; empty documents score 0.
+
+    Shape at scale: one explode + groupBy(token) builds the document-
+    frequency table (map-side combined — cardinality is the vocabulary,
+    not the corpus), one join back on token, one groupBy(id) for the mean.
+    No window over the corpus, no driver-side vocabulary."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("__tok"),
+    )
+    n_docs = df.count()
+    dfreq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    scores = (
+        toks.join(dfreq, "__tok")
+        .groupBy(id_col)
+        .agg(F.avg(F.log(F.lit(float(n_docs)) / F.col("__df"))).alias(out))
+    )
+    return df.join(scores, id_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(0.0))
+    )

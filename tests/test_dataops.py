@@ -718,3 +718,53 @@ def test_stratified_sample_validates_rates(spark):
         stratified_sample(docs, "doc_id", "event_type", {"a": 30})
     with pytest.raises(ValueError, match="rates must be in"):
         stratified_sample(docs, "doc_id", "event_type", {"a": 0.3}, default_rate=-1)
+
+
+def test_cap_per_group(spark):
+    from punt_spark.dataops.sampling import cap_per_group
+
+    rows = [(i, "hot" if i < 20 else f"s{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = cap_per_group(df, "source", "doc_id", cap=5).toPandas()
+    counts = out.groupby("source").size()
+    assert counts["hot"] == 5  # hot domain capped
+    assert (counts.drop("hot") == 1).all()  # small domains untouched
+    # deterministic: same survivors across runs and partitionings
+    again = cap_per_group(df.repartition(7), "source", "doc_id", cap=5).toPandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])
+    with pytest.raises(ValueError, match="cap must be"):
+        cap_per_group(df, "source", "doc_id", cap=0)
+
+
+def test_mixture_stats(spark):
+    from punt_spark.dataops.sampling import mixture_stats
+
+    df = spark.createDataFrame(
+        [(0, "en", "a", "one two three"), (1, "en", "a", "four five"),
+         (2, "de", "b", "sechs"), (3, "de", "b", "   ")],
+        "doc_id long, lang string, source string, text string",
+    )
+    out = {
+        (r["lang"], r["source"]): r
+        for r in mixture_stats(df, ["lang", "source"]).collect()
+    }
+    assert out[("en", "a")]["n_docs"] == 2
+    assert out[("en", "a")]["n_tokens"] == 5
+    assert out[("de", "b")]["n_tokens"] == 1  # whitespace-only doc = 0
+    assert abs(out[("en", "a")]["token_share"] - 5 / 6) < 1e-12
+
+
+def test_idf_score(spark):
+    import math
+
+    from punt_spark.dataops.textstats import with_idf_score
+
+    df = spark.createDataFrame(
+        [(0, "common common rare"), (1, "common also"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["idf_score"] for r in with_idf_score(df).collect()}
+    # N=3; df(common)=2, df(rare)=1, df(also)=1
+    assert abs(out[0] - (math.log(3 / 2) + math.log(3)) / 2) < 1e-12
+    assert abs(out[1] - (math.log(3 / 2) + math.log(3)) / 2) < 1e-12
+    assert out[2] == 0.0  # empty doc
