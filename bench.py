@@ -263,12 +263,19 @@ def main() -> int:
         return a if a["turns_per_sec"] >= b["turns_per_sec"] else b
 
     pipe_low = best_of_2(LOW_CPUS)
-    pipe_high = best_of_2(CPUS)
+    # The ON-vs-OFF overhead comparison INTERLEAVES its legs (ON, OFF, ON,
+    # OFF) and takes the best of each: running all ON legs first and all
+    # OFF legs after would systematically flatter OFF with the session's
+    # accumulated JIT warm-up (measured: a cold first leg reads ~30% low).
+    on_a = run_pipeline_once(CPUS, fixtures_path, n_rows, True)
+    off_a = run_pipeline_once(CPUS, fixtures_path, n_rows, False)
+    on_b = run_pipeline_once(CPUS, fixtures_path, n_rows, True)
+    off_b = run_pipeline_once(CPUS, fixtures_path, n_rows, False)
+    pipe_high = max(on_a, on_b, key=lambda r: r["turns_per_sec"])
+    pipe_nometrics = max(off_a, off_b, key=lambda r: r["turns_per_sec"])
     pipe_eff = (
         pipe_high["turns_per_sec"] / pipe_low["turns_per_sec"]
     ) / (CPUS / LOW_CPUS)
-    # control: same protocol without metrics → collection overhead
-    pipe_nometrics = best_of_2(CPUS, collect_metrics=False)
 
     result = {
         "metric": "parsed+routed turns/sec (full pipeline at local[CPUS]; "
