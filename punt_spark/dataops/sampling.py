@@ -148,14 +148,20 @@ def mixture_stats(
     and share of total tokens — the mixture-weights table every training
     run starts from (what fraction of the token budget does each
     (lang, source, ...) stratum contribute?). One map-side-combined
-    groupBy + a scalar total broadcast back; no window over the corpus."""
+    groupBy + a scalar total broadcast back; no window over the corpus.
+
+    The per-stratum aggregate is checkpointed before the grand-total
+    branch: Spark shares no subplans, so without it the CORPUS scan runs
+    twice (once under ``per``, once under ``total`` — plan-audited). The
+    checkpointed frame is stratum-cardinality-sized, i.e. tiny; the one
+    eager corpus aggregation at call time is the operator's cost."""
     toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     per = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(
             F.when(F.length(F.trim(F.col(text_col))) > 0, toks).otherwise(0)
         ).alias("n_tokens"),
-    )
+    ).localCheckpoint()
     total = per.agg(F.sum("n_tokens").alias("__t"))
     return per.crossJoin(F.broadcast(total)).select(
         *group_cols,
