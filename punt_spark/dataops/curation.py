@@ -1,6 +1,7 @@
 """Corpus curation — the composed training-data pipeline: quality gate →
 repetition filter → language filter → decontamination → exact dedup →
-MinHash near-dup dedup → PII redaction, with full audit trail.
+MinHash near-dup dedup → per-source cap → PII redaction, with full audit
+trail.
 
 This is the canonical consumer of the dataops operators at 100 TB: every
 stage is a DataFrame transform over the corpus; the only shuffles are the
@@ -33,17 +34,22 @@ def curate_corpus(
     num_hashes: int = 32,
     bands: int = 8,
     redact: bool = False,
+    max_per_source: int | None = None,
+    source_col: str = "source",
 ) -> dict[str, DataFrame]:
     """Returns {"retained", "removed", "stats"}.
 
     removed carries (id, reason) for every dropped doc:
-    low_quality | repetition | lang | contaminated | exact_dup | near_dup.
+    low_quality | repetition | lang | contaminated | exact_dup | near_dup
+    | source_cap.
     Optional stages activate with their arguments: ``max_repetition`` gates
     on the Gopher-style repetition ratio, ``benchmark`` drops test-set
-    n-gram overlap (broadcast anti-join), ``redact=True`` rewrites
-    ``text_col`` IN PLACE with PII placeholders as the final pass
-    (redaction is last so dedup hashes see the original bytes; in place so
-    no consumer of the retained frame can export un-redacted text).
+    n-gram overlap (broadcast anti-join), ``max_per_source`` caps documents
+    per ``source_col`` value AFTER dedup (duplicates must not consume a
+    domain's budget), ``redact=True`` rewrites ``text_col`` IN PLACE with
+    PII placeholders as the final pass (redaction is last so dedup hashes
+    see the original bytes; in place so no consumer of the retained frame
+    can export un-redacted text).
     """
     scored = with_quality(docs, text_col)
     if max_repetition is not None:
@@ -114,6 +120,17 @@ def curate_corpus(
     removed_frames.append(
         near_dup_ids.select(F.col(id_col), F.lit("near_dup").alias("reason"))
     )
+
+    if max_per_source is not None:
+        from .sampling import cap_per_group
+
+        capped = cap_per_group(retained, source_col, id_col, max_per_source)
+        removed_frames.append(
+            retained.join(capped.select(id_col), id_col, "left_anti").select(
+                F.col(id_col), F.lit("source_cap").alias("reason")
+            )
+        )
+        retained = capped
 
     if redact:
         # in place: a consumer exporting text_col must never ship PII —

@@ -331,3 +331,27 @@ def streaming_alert_counts(
             F.col("n_events"),
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — ingest-time exactly-once over an
+    at-least-once source (the reference's UDP listener happily delivers
+    duplicates; a retrying Kafka producer does too). Duplicate ``keys``
+    arriving within ``delay`` of each other are dropped;
+    ``dropDuplicatesWithinWatermark`` evicts state as the event-time
+    watermark advances, so state stays bounded by the delay window — a
+    plain streaming ``dropDuplicates`` would grow state forever at
+    10¹²-turn scale.
+
+    Training-data shape: this is the streaming twin of
+    ``dataops.dedup.exact_dedup`` for continuously-ingested corpora — keys
+    are typically (conv_id, turn_idx) or a content fingerprint
+    (``textstats.with_fingerprint`` upstream)."""
+    return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )

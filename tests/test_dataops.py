@@ -768,3 +768,20 @@ def test_idf_score(spark):
     assert abs(out[0] - (math.log(3 / 2) + math.log(3)) / 2) < 1e-12
     assert abs(out[1] - (math.log(3 / 2) + math.log(3)) / 2) < 1e-12
     assert out[2] == 0.0  # empty doc
+
+
+def test_curate_corpus_source_cap(spark):
+    from punt_spark.dataops.curation import curate_corpus
+
+    rows = [
+        (i, f"clean useful distinct document number {i} with informative words inside", "hot")
+        for i in range(6)
+    ] + [(10, "another perfectly fine document from a small source with words", "cold")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(docs, min_quality=0.0, max_per_source=2)
+    retained = out["retained"].toPandas()
+    assert (retained.groupby("source").size()["hot"]) == 2
+    removed = {r["doc_id"]: r["reason"] for r in out["removed"].collect()}
+    assert list(removed.values()).count("source_cap") == 4
+    stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
+    assert sum(stats.values()) == len(rows)  # accounting stays total

@@ -394,3 +394,67 @@ def test_retention_ticker(spark, tmp_path):
     # manifests rewritten: expired files absent from every snapshot
     for m in tbl.snapshots().values():
         assert all("logs-2017.03.13.01" not in f for f in m["files"])
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    """Ingest-time streaming dedup: duplicates within the watermark delay
+    are dropped with BOUNDED state (dropDuplicatesWithinWatermark), both
+    inside one micro-batch and across batches via the checkpoint."""
+    import datetime
+
+    import pandas as pd
+    from punt_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    t0 = datetime.datetime(2017, 3, 14, 4, 0, 0)
+
+    def write_batch(fname, ids):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [f"c{i}" for i in ids],
+                "turn_idx": [i for i in ids],
+                "ts": pd.Series(
+                    [t0 + datetime.timedelta(seconds=i) for i in ids],
+                    dtype="datetime64[us]",
+                ),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, fname)
+        )
+
+    # batch 1: ids 0,1,2 with 1 duplicated in-batch
+    write_batch("b1", [0, 1, 1, 2])
+
+    def drain(name):
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx bigint, ts timestamp"
+        ).option("basePath", src).parquet(os.path.join(src, "*"))
+        out = dedup_stream(stream, ["conv_id", "turn_idx"], delay="1 hour")
+        rows = []
+
+        def sink(batch_df, batch_id):
+            rows.extend(
+                (r["conv_id"], r["turn_idx"]) for r in batch_df.collect()
+            )
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return set(rows)
+
+    got1 = drain("dedup_s1")
+    assert got1 == {("c0", 0), ("c1", 1), ("c2", 2)}
+    # batch 2: id 1 again (duplicate across batches, within the watermark)
+    # plus a genuinely new id 3
+    write_batch("b2", [1, 3])
+    got2 = drain("dedup_s2")
+    assert got2 == {("c3", 3)}  # cross-batch duplicate suppressed by state
