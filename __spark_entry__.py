@@ -523,6 +523,18 @@ def q_idf_score(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: shard the corpus, concatenate each
+    shard's docs in a deterministic md5 order, cut at 512-token
+    boundaries; docs may straddle (padding-free packed batches)."""
+    from punt_spark.dataops.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", budget=512, shards=8).select(
+        "doc_id", "n_tokens", "shard", "seq_id", "seq_offset"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified sampling (domain re-weighting): per
     event_type keep rates from the same md5 bucket — a pure function of
@@ -735,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "mixture_stats": q_mixture_stats,
         "idf_score": q_idf_score,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1084,6 +1097,30 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY t.doc_id)
             SELECT d.doc_id, round(coalesce(scores.s, 0.0), 4) AS idf_r
             FROM documents d LEFT JOIN scores ON d.doc_id = scores.doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(CASE WHEN length(trim(text)) > 0
+                            THEN len(string_split_regex(trim(text), '\\s+'))
+                            ELSE 0 END AS BIGINT) AS n_tokens,
+                       ('0x' || substr(md5('pack' ||
+                            CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                           AS shard,
+                       md5('pack' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), w AS (
+                SELECT doc_id, n_tokens, shard,
+                       CAST(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+                           AS start
+                FROM t)
+            SELECT doc_id, n_tokens, shard,
+                   CAST(shard AS VARCHAR) || '/' ||
+                       CAST(start // 512 AS VARCHAR) AS seq_id,
+                   start % 512 AS seq_offset
+            FROM w
         """,
         "hash_split": """
             SELECT doc_id,

@@ -785,3 +785,36 @@ def test_curate_corpus_source_cap(spark):
     assert list(removed.values()).count("source_cap") == 4
     stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
     assert sum(stats.values()) == len(rows)  # accounting stays total
+
+
+def test_pack_sequences(spark):
+    from punt_spark.dataops.packing import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}" for j in range(3 + i % 5))) for i in range(40)]
+    rows.append((99, "   "))  # empty doc: 0 tokens
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, "doc_id", budget=10, shards=4).toPandas()
+    assert len(out) == len(rows)
+    # per shard, offsets reconstruct one contiguous token stream: sorting
+    # by the packing order, each doc starts where the previous one ended
+    import hashlib
+
+    def order_key(doc_id):
+        return (hashlib.md5(f"pack{doc_id}".encode()).hexdigest(), doc_id)
+
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values(by="doc_id", key=lambda s: s.map(order_key))
+        stream_pos = 0
+        for r in grp.itertuples():
+            assert r.seq_id == f"{shard}/{stream_pos // 10}"
+            assert r.seq_offset == stream_pos % 10
+            stream_pos += r.n_tokens
+    # deterministic under repartitioning
+    again = pack_sequences(
+        df.repartition(7), "doc_id", budget=10, shards=4
+    ).toPandas()
+    a = out.sort_values("doc_id")[["seq_id", "seq_offset"]].values.tolist()
+    b = again.sort_values("doc_id")[["seq_id", "seq_offset"]].values.tolist()
+    assert a == b
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", budget=0)
