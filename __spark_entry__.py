@@ -523,6 +523,29 @@ def q_idf_score(spark, sf_dir):
     )
 
 
+def q_render_conversations(spark, sf_dir):
+    """Transcript assembly: flatten each user's event stream into ONE
+    rendered training document ("type: props" lines in (ts, event_id)
+    order) — the bridge from routed per-turn rows to the per-document
+    dataops (dedup/quality/packing run on the rendered text)."""
+    from punt_spark.dataops.transcripts import render_conversations
+
+    e = _t(spark, sf_dir, "events")
+    out = render_conversations(
+        e,
+        conv_col="user_id",
+        order_cols=("ts", "event_id"),
+        role_col="event_type",
+        text_col="props",
+    )
+    return out.select(
+        "user_id",
+        "text",
+        "n_turns",
+        F.array_join("roles", ",").alias("roles_csv"),
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing: shard the corpus, concatenate each
     shard's docs in a deterministic md5 order, cut at 512-token
@@ -748,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_stats": q_mixture_stats,
         "idf_score": q_idf_score,
         "pack_sequences": q_pack_sequences,
+        "render_conversations": q_render_conversations,
     }
 
 
@@ -1097,6 +1121,15 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY t.doc_id)
             SELECT d.doc_id, round(coalesce(scores.s, 0.0), 4) AS idf_r
             FROM documents d LEFT JOIN scores ON d.doc_id = scores.doc_id
+        """,
+        "render_conversations": """
+            SELECT user_id,
+                   string_agg(event_type || ': ' || props, chr(10)
+                              ORDER BY ts, event_id) AS text,
+                   COUNT(*) AS n_turns,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                       AS roles_csv
+            FROM events GROUP BY user_id
         """,
         "pack_sequences": """
             WITH t AS (

@@ -56,6 +56,10 @@ OP_QUERIES = [
     "repetition",
     "decontaminate",
     "ann_topk",
+    "source_cap",
+    "idf_score",
+    "pack_sequences",
+    "render_conversations",
 ]
 
 

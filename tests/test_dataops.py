@@ -818,3 +818,32 @@ def test_pack_sequences(spark):
     assert a == b
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", budget=0)
+
+
+def test_render_conversations(spark):
+    from punt_spark.dataops.transcripts import render_conversations
+
+    rows = [
+        ("c1", 1, "assistant", "hi there"),
+        ("c1", 0, "user", "hello"),
+        ("c1", 2, "user", "bye"),
+        ("c2", 0, "user", "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {
+        r["conv_id"]: r
+        for r in render_conversations(df.repartition(5)).collect()
+    }
+    assert out["c1"]["text"] == "user: hello\nassistant: hi there\nuser: bye"
+    assert out["c1"]["n_turns"] == 3
+    assert out["c1"]["roles"] == ["assistant", "user"]
+    assert out["c2"]["text"] == "user: solo"
+    # rendered output feeds the document ops directly (dedup fingerprint)
+    from punt_spark.dataops import textstats
+
+    fp = textstats.with_fingerprint(
+        render_conversations(df).withColumnRenamed("conv_id", "doc_id")
+    )
+    assert fp.select("fingerprint_md5").distinct().count() == 2
