@@ -475,12 +475,6 @@ def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
     return out
 
 
-def partition_counts(df: DataFrame, cols: list[str]) -> dict[str, int]:
-    """Per-partition row counts for lineage manifests."""
-    rows = df.groupBy(*cols).count().collect()
-    return {"|".join(str(r[c]) for c in cols): r["count"] for r in rows}
-
-
 def salted_write_layout(
     df: DataFrame,
     n: int,
