@@ -847,3 +847,29 @@ def test_render_conversations(spark):
         render_conversations(df).withColumnRenamed("conv_id", "doc_id")
     )
     assert fp.select("fingerprint_md5").distinct().count() == 2
+
+
+def test_curate_training_data_example(spark, tmp_path):
+    """The shipped end-to-end example composes curate → split → pack and
+    writes per-split packed parquet with audit + mixture side tables."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_example",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "examples", "curate_training_data.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "td")
+    rc = mod.main(["--input", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    packed = spark.read.parquet(_os.path.join(out, "packed"))
+    assert set(packed.select("split").distinct().toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
+    assert {"seq_id", "seq_offset", "n_tokens"} <= set(packed.columns)
+    assert spark.read.parquet(_os.path.join(out, "mixture_stats")).count() > 0
