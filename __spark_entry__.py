@@ -229,9 +229,11 @@ def q_turn_ordering_digest(spark, sf_dir):
     ordered by (ts, event_id), joined into one digest string — the
     sort-then-concat per-conversation invariant check from the north_star."""
     e = _t(spark, sf_dir, "events")
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("ts", "event_id"))),
-        lambda s: s["event_id"].cast("string"),
+    # SQL lambda, not a Python lambda — see dedup.minhash_signatures for
+    # the cross-binding failure mode this avoids
+    ordered = F.expr(
+        "transform(array_sort(collect_list(struct(ts, event_id))),"
+        " s -> cast(s.event_id as string))"
     )
     return e.groupBy("user_id").agg(
         F.array_join(ordered, ",").alias("event_seq")

@@ -327,6 +327,11 @@ class Pipeline:
 
                 results = []
                 types = list(cfg.types.values())
+                # NOTE (measured dead end): folding the errors commit into
+                # this pool — either as a 5th concurrent writer or queued
+                # behind the sinks on 4 workers — read equal-or-slower on
+                # this shared-disk box (more concurrent writers = more seek
+                # contention); errors stays a serial tail below.
                 if self.parallel_sink_writes and len(types) > 1 and not fail_hook:
                     with ThreadPoolExecutor(max_workers=min(4, len(types))) as ex:
                         results = list(ex.map(write_sink, types))
