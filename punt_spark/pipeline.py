@@ -565,7 +565,14 @@ class RetentionTicker:
     ``interval_sec`` seconds (reference: gcIndexes ticker,
     cluster.go:112-128). ``stop()`` is prompt — the wait is an Event, not a
     sleep. Expired partitions accumulate in ``self.expired`` and each pass
-    increments ``self.fired``."""
+    increments ``self.fired``.
+
+    Race note (shared with the reference, which GCs indexes while tails are
+    subscribed): a live tail that listed a file just before GC deletes it
+    can fail that micro-batch; the stream surfaces the error and a
+    restarted tail sees the post-GC manifest set. Retention only removes
+    the OLDEST keep-N-excluded partitions, so the race window is data the
+    operator already chose to expire."""
 
     def __init__(self, pipeline: Pipeline, interval_sec: float):
         import threading

@@ -492,3 +492,36 @@ def test_matched_events_missing_ts_is_noop(spark):
     )
     out = matched_events(df2, alert, "logs")
     assert out is not None and out.count() == 1
+
+
+def test_pipeline_catchall_only_config(spark, tmp_path):
+    """A config with ONLY the '*' type: every counter comes from the
+    dynamic-tag bucket (static_tags is empty — isin([]) edge)."""
+    import datetime
+
+    from punt_spark.config import PipelineConfig, TypeConfig
+    from punt_spark.pipeline import Pipeline
+
+    cfg = PipelineConfig(
+        types={"*": TypeConfig(name="*", prefix="all-")}, alerts=[], gc=[]
+    )
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "user", "<13>Mar 14 04:00:00 h1 alpha: one", "none",
+             datetime.datetime(2017, 3, 14, 4, 0, 0)),
+            ("c1", 1, "user", "<13>Mar 14 04:00:01 h1 beta: two", "none",
+             datetime.datetime(2017, 3, 14, 4, 0, 1)),
+        ],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    pipe = Pipeline(spark, cfg, out_dir=str(tmp_path / "ca_out"))
+    result = pipe.run(df)
+    assert result["metrics"]["msgs.received"] == 2
+    assert result["metrics"]["msgs.processed"] == 2
+    by_tag = {}
+    for r in pipe.metrics.rows:
+        if r["metric"] == "msgs.received":
+            by_tag[r["tag"]] = by_tag.get(r["tag"], 0) + r["value"]
+    assert by_tag == {"alpha": 1, "beta": 1}
+    assert pipe.sinks["sink_catchall"].read(spark).count() == 2
