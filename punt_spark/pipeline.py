@@ -581,13 +581,19 @@ class RetentionTicker:
         self.interval_sec = interval_sec
         self.fired = 0
         self.expired: list[dict[str, list[str]]] = []
+        self.errors: list[str] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
 
     def _loop(self):
         while not self._stop.wait(self.interval_sec):
-            self.expired.append(self.pipeline.run_retention())
-            self.fired += 1
+            try:
+                self.expired.append(self.pipeline.run_retention())
+                self.fired += 1
+            except Exception as e:  # keep ticking — GC must outlive one
+                # transient FS race (the reference's ticker does the same:
+                # a failed GC pass logs and retries next interval)
+                self.errors.append(f"{type(e).__name__}: {e}")
 
     def start(self) -> "RetentionTicker":
         self._thread.start()
