@@ -135,3 +135,47 @@ def test_batch_matches_pandas_oracle(transcripts):
             assert row["pid"] == env["pid"]
             assert row["content"] == env["content"]
             assert row["ts"].to_pydatetime() == env["ts"]
+
+
+def test_arrow_extract_matches_python():
+    """The pyarrow RE2 extraction path and the pandas Python-re fallback
+    must agree exactly (modulo the documented ''-vs-NaN convention for the
+    unparticipating optional pid group) over the full fixture corpus."""
+    import punt_spark.parse as P
+    from punt_spark.fixtures import make_transcripts
+
+    assert P._ARROW_RE  # the container ships pyarrow
+    texts = make_transcripts(20_000, seed=11)["text"]
+    # exercise edge inputs too
+    texts = pd.concat(
+        [texts, pd.Series(["", None, "<13>", "no match at all",
+                           "<999>Mar 14 04:00:00 h tag: x"], dtype=object)],
+        ignore_index=True,
+    )
+    fast_ext, fast_m = P._extract_groups(texts)
+    ext = texts.str.extract(P.RFC3164_PATTERN)
+    ext.columns = P._GROUPS
+    slow_m = ext["pri"].notna()
+    assert (fast_m.to_numpy() == slow_m.to_numpy()).all()
+    for c in P._GROUPS:
+        a = fast_ext[c].fillna("")
+        b = ext[c].fillna("")
+        assert (a.to_numpy() == b.to_numpy()).all(), c
+    # and the full batch parser output is identical through either path
+    # calendar-edge corpus: every month x day combo + weird times — the C
+    # strptime fast path must reject exactly what Go time.Parse rejects
+    # (rollover dates like Feb 30), matching the pandas path bit-for-bit
+    edges = []
+    for m in ["Jan", "Feb", "Mar", "Apr", "Jun", "Dec", "Xxx"]:
+        for d in [0, 1, 9, 28, 29, 30, 31, 32]:
+            edges.append(f"<13>{m} {d} 04:20:19 h tag: x")
+    for t in ["23:59:59", "24:00:00", "04:20:60", "04:60:19", "00:00:00"]:
+        edges.append(f"<13>Mar 14 {t} h tag: x")
+    texts = pd.concat([texts, pd.Series(edges, dtype=object)], ignore_index=True)
+    fast = P.parse_rfc3164_batch(texts, 2017)
+    P._ARROW_RE = False
+    try:
+        slow = P.parse_rfc3164_batch(texts, 2017)
+    finally:
+        P._ARROW_RE = True
+    pd.testing.assert_frame_equal(fast, slow)
