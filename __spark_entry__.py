@@ -548,6 +548,18 @@ def q_render_conversations(spark, sf_dir):
     )
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Self-perplexity quality signal: mean bigram log-probability under
+    the corpus's own add-1-smoothed bigram model (the KenLM-perplexity-
+    filter analog with no external LM)."""
+    from punt_spark.dataops.textstats import with_bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return with_bigram_logprob(d).select(
+        "doc_id", F.round("bigram_logprob", 4).alias("blp_r")
+    )
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing: shard the corpus, concatenate each
     shard's docs in a deterministic md5 order, cut at 512-token
@@ -774,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_score": q_idf_score,
         "pack_sequences": q_pack_sequences,
         "render_conversations": q_render_conversations,
+        "bigram_logprob": q_bigram_logprob,
     }
 
 
@@ -1132,6 +1145,32 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT event_type)), ',')
                        AS roles_csv
             FROM events GROUP BY user_id
+        """,
+        "bigram_logprob": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                   '\\s+'), t -> t != '') AS ws
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+                WHERE len(ws) >= 2
+            ), c12 AS (
+                SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+            ), v AS (
+                SELECT COUNT(DISTINCT tok) AS vs FROM (
+                    SELECT unnest(ws) AS tok FROM w)
+            ), scores AS (
+                SELECT bg.doc_id,
+                       avg(ln((c12.c12 + 1.0) /
+                              (c1.c1 + (SELECT vs FROM v)))) AS s
+                FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                GROUP BY bg.doc_id)
+            SELECT d.doc_id, round(coalesce(scores.s, 0.0), 4) AS blp_r
+            FROM documents d LEFT JOIN scores ON d.doc_id = scores.doc_id
         """,
         "pack_sequences": """
             WITH t AS (

@@ -227,3 +227,64 @@ def with_idf_score(
     return df.join(scores, id_col, "left").withColumn(
         out, F.coalesce(F.col(out), F.lit(0.0))
     )
+
+
+def with_bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "bigram_logprob",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram model — the perplexity-filter analog that needs no external LM
+    (KenLM-style filtering trains on a reference corpus; self-perplexity
+    flags the same outliers: templated/shuffled/garbage text scores far
+    from the corpus mode). Add-``alpha`` smoothing over the unigram
+    vocabulary: p(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha·V).
+
+    Shape at scale: token explode → two count tables (bigram + unigram,
+    both vocabulary-bounded, map-side combined) → joins back on the bigram
+    stream → per-doc mean. Same two-shuffle shape as ``with_idf_score``;
+    documents with < 2 tokens score 0.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: t != "",
+    )
+    d = df.withColumn("__toks", toks)
+    bigrams = d.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                "CASE WHEN size(__toks) >= 2 THEN "
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> struct(__toks[i-1] AS w1, __toks[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("__pos", "__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+    bg_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    uni_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = (
+        d.select(F.explode("__toks").alias("w")).select("w").distinct().count()
+    )
+    scored = (
+        bigrams.join(bg_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.avg(
+                F.log(
+                    (F.col("c12") + F.lit(alpha))
+                    / (F.col("c1") + F.lit(alpha * vocab_size))
+                )
+            ).alias(out)
+        )
+    )
+    return (
+        df.join(scored, id_col, "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit(0.0)))
+    )

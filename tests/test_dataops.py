@@ -873,3 +873,25 @@ def test_curate_training_data_example(spark, tmp_path):
     }
     assert {"seq_id", "seq_offset", "n_tokens"} <= set(packed.columns)
     assert spark.read.parquet(_os.path.join(out, "mixture_stats")).count() > 0
+
+
+def test_bigram_logprob(spark):
+    import math
+
+    from punt_spark.dataops.textstats import with_bigram_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["bigram_logprob"]
+        for r in with_bigram_logprob(df).collect()
+    }
+    # corpus bigrams: doc0: (a,b),(b,a),(a,b); doc1: (a,b)
+    # c(a b)=3, c(b a)=1; c1(a)=3, c1(b)=1; V = |{a,b,x}| = 3
+    p_ab = math.log((3 + 1) / (3 + 3))
+    p_ba = math.log((1 + 1) / (1 + 3))
+    assert abs(out[0] - (2 * p_ab + p_ba) / 3) < 1e-12
+    assert abs(out[1] - p_ab) < 1e-12
+    assert out[2] == 0.0 and out[3] == 0.0  # <2 tokens
