@@ -111,13 +111,24 @@ def rollup(events: DataFrame, alert: AlertConfig) -> DataFrame:
             *field_names,
         )
     w = F.window(F.col("ts"), f"{alert.rollup_window_sec} seconds")
-    first_by_ts = lambda c: F.min_by(c, F.col("ts"))  # noqa: E731
+    # "first" event = lexicographic min of the full rendered tuple, not of
+    # ts alone: min_by on a tied ts would pick an engine-arbitrary event
+    # (and could even mix columns from DIFFERENT tied events). The struct
+    # key makes the choice deterministic and coherent; the pure-Python
+    # oracle pins the same rule.
+    order_key = F.struct(
+        F.col("ts"),
+        F.col("title"),
+        F.col("description"),
+        *[F.col(f) for f in field_names],
+    )
+    first_by = lambda c: F.min_by(c, order_key)  # noqa: E731
     agg = events.groupBy(w.alias("w")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        first_by_ts(F.col("title")).alias("__title"),
-        first_by_ts(F.col("description")).alias("description"),
+        first_by(F.col("title")).alias("__title"),
+        first_by(F.col("description")).alias("description"),
         F.min("ts").alias("first_ts"),
-        *[first_by_ts(F.col(f)).alias(f) for f in field_names],
+        *[first_by(F.col(f)).alias(f) for f in field_names],
     )
     rendered_title = F.when(
         F.col("n_events") > 1,

@@ -195,7 +195,22 @@ def run_reference(
             window_groups = sorted(windows.items())
         act = cfg.actions.get(a.action) if hasattr(cfg, "actions") else None
         for start, group in window_groups:
-            first = group[0]["payload"]
+            # "first" event = lexicographic min of the RENDERED tuple
+            # (ts, title, description, fields...) — ties on ts alone would
+            # otherwise be engine-arbitrary (Python stable sort preserves
+            # append order; Spark min_by picks any); both engines pin this
+            # rule so the chosen event is deterministic and coherent.
+            def _key(e):
+                p = e["payload"]
+                return (
+                    e["ts"],
+                    _render(a.title, p),
+                    _render(a.description, p),
+                    tuple(_render(v, p) for v in a.fields.values()),
+                )
+
+            chosen = min(group, key=_key)
+            first = chosen["payload"]
             title = _render(a.title, first)
             if len(group) > 1:
                 title += f" ({len(group) - 1} similar events)"

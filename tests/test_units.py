@@ -525,3 +525,32 @@ def test_pipeline_catchall_only_config(spark, tmp_path):
             by_tag[r["tag"]] = by_tag.get(r["tag"], 0) + r["value"]
     assert by_tag == {"alpha": 1, "beta": 1}
     assert pipe.sinks["sink_catchall"].read(spark).count() == 2
+
+
+def test_alert_rollup_tie_break_deterministic(spark):
+    """Two matched events with IDENTICAL timestamps in one window: the
+    rendered 'first event' must be the lexicographic min of the full
+    rendered tuple — not an engine-arbitrary min_by pick (and never a mix
+    of columns from different tied events)."""
+    import datetime
+
+    from punt_spark.alerts import matched_events, rollup
+    from punt_spark.config import AlertConfig
+
+    a = AlertConfig(
+        name="tied", source_field="content", match="^m",
+        rollup_window_sec=60, title="T {content}", description="D {host}",
+        fields={"h": "{host}"},
+    )
+    ts = datetime.datetime(2017, 3, 14, 4, 0, 30)
+    df = spark.createDataFrame(
+        [("m bbb", "h2", ts), ("m aaa", "h1", ts), ("m ccc", "h3", ts)],
+        "content string, host string, ts timestamp",
+    )
+    ev = matched_events(df, a, "logs")
+    for _ in range(3):  # stable across repeated runs and partitionings
+        row = rollup(ev.repartition(5), a).collect()[0]
+        assert row["title"] == "T m aaa (2 similar events)"
+        assert row["description"] == "D h1"  # same event, not a column mix
+        assert row["field_h"] == "h1"
+        assert row["n_events"] == 3
