@@ -12,7 +12,8 @@ One Alert instance is shared by every Type it's wired to (state.go:39-52) —
 the rollup window is GLOBAL across types. So the batch shape is: per type,
 ``filter(rlike)`` + render (match-time rendering, like MatchAlert.Check);
 union the per-type event frames; one ``groupBy(window(ts, w))`` per alert
-with ``min_by(…, ts)`` picking the first event.
+with ``min_by`` over the full rendered tuple picking the first event
+(deterministic under timestamp ties — see ``rollup``).
 
 Window semantics divergence (documented): the reference's windows open at
 wall-clock *arrival* of the first match (alert.go:50-65) — unreproducible by
