@@ -46,11 +46,17 @@ class StreamingPipeline:
         cfg: PipelineConfig | None = None,
         out_dir: str = "./punt_stream_out",
         lookups: dict[str, DataFrame] | None = None,
+        dedup_within: str | None = None,
     ):
+        """``dedup_within`` (e.g. "10 minutes") enables ingest-time exact
+        dedup on (conv_id, turn_idx) via ``dedup_stream`` — an
+        at-least-once source (the reference's UDP listener, a retrying
+        producer) stops double-counting without unbounded state."""
         self.spark = spark
         self.cfg = cfg or default_config()
         self.out_dir = out_dir
         self.lookups = lookups or {}
+        self.dedup_within = dedup_within
         self.checkpoint = os.path.join(out_dir, "_checkpoint")
         self.sinks = {
             t.sink_name: SnapshotTable(os.path.join(out_dir, t.sink_name))
@@ -147,6 +153,10 @@ class StreamingPipeline:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(input_path)
+        if self.dedup_within:
+            stream = dedup_stream(
+                stream, ["conv_id", "turn_idx"], "ts", self.dedup_within
+            )
         q = (
             stream.writeStream.foreachBatch(self._process_batch)
             .option("checkpointLocation", self.checkpoint)

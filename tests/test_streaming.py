@@ -458,3 +458,30 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     write_batch("b2", [1, 3])
     got2 = drain("dedup_s2")
     assert got2 == {("c3", 3)}  # cross-batch duplicate suppressed by state
+
+
+def test_streaming_pipeline_ingest_dedup(spark, transcripts, tmp_path):
+    """dedup_within: an at-least-once source delivering every row twice
+    produces the same per-sink counts as a clean single-delivery run."""
+    import pandas as pd
+
+    cfg = default_config()
+    sample = transcripts.limit(200).toPandas()
+    doubled = pd.concat([sample, sample], ignore_index=True)
+    doubled["ts"] = doubled["ts"].astype("datetime64[us]")
+    src = str(tmp_path / "dup_in")
+    spark.createDataFrame(doubled).coalesce(2).write.mode("overwrite").parquet(src)
+
+    s_dedup = StreamingPipeline(
+        spark, cfg, out_dir=str(tmp_path / "dd"), dedup_within="1 hour"
+    )
+    s_dedup.run_available_now(src)
+    s_plain = StreamingPipeline(spark, cfg, out_dir=str(tmp_path / "pl"))
+    s_plain.run_available_now(src)
+
+    for t in cfg.types.values():
+        d = s_dedup.sinks[t.sink_name].read(spark)
+        p = s_plain.sinks[t.sink_name].read(spark)
+        n_d = d.count() if d is not None else 0
+        n_p = p.count() if p is not None else 0
+        assert n_p == 2 * n_d, t.sink_name  # duplicates suppressed exactly
