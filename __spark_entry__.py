@@ -548,6 +548,20 @@ def q_render_conversations(spark, sf_dir):
     )
 
 
+def q_vocab_top_terms(spark, sf_dir):
+    """Vocabulary heavy hitters: top 50 tokens by (count, token) from the
+    corpus token-frequency table — the tokenizer-training input relation.
+    orderBy+limit plans TakeOrderedAndProject (distributed top-k)."""
+    from punt_spark.dataops.textstats import token_frequencies
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        token_frequencies(d)
+        .orderBy(F.col("count").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
 def q_bigram_logprob(spark, sf_dir):
     """Self-perplexity quality signal: mean bigram log-probability under
     the corpus's own add-1-smoothed bigram model (the KenLM-perplexity-
@@ -787,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "render_conversations": q_render_conversations,
         "bigram_logprob": q_bigram_logprob,
+        "vocab_top_terms": q_vocab_top_terms,
     }
 
 
@@ -1145,6 +1160,21 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT event_type)), ',')
                        AS roles_csv
             FROM events GROUP BY user_id
+        """,
+        "vocab_top_terms": """
+            WITH tok AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)),
+                                  '\\s+')) AS tok
+                    FROM documents)
+                WHERE tok != ''
+            )
+            SELECT tok AS token,
+                   COUNT(*) AS count,
+                   COUNT(DISTINCT doc_id) AS doc_freq
+            FROM tok GROUP BY tok
+            ORDER BY count DESC, token LIMIT 50
         """,
         "bigram_logprob": """
             WITH w AS (

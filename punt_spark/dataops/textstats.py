@@ -288,3 +288,33 @@ def with_bigram_logprob(
         df.join(scored, id_col, "left")
         .withColumn(out, F.coalesce(F.col(out), F.lit(0.0)))
     )
+
+
+# --- vocabulary statistics (tokenizer-training input) -----------------------------
+
+
+def token_frequencies(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary table: (token, count, doc_freq) — term frequency
+    and document frequency per whitespace token. This is the input relation
+    of tokenizer training (BPE merges start from exactly this table) and of
+    stopword/heavy-hitter analysis.
+
+    Shape at scale: one explode + one map-side-combined groupBy; output is
+    vocabulary-sized. Top-k consumers should ``orderBy(...).limit(k)`` so
+    Spark plans TakeOrderedAndProject (distributed top-k, no global sort).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("token"),
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )

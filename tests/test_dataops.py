@@ -895,3 +895,14 @@ def test_bigram_logprob(spark):
     assert abs(out[0] - (2 * p_ab + p_ba) / 3) < 1e-12
     assert abs(out[1] - p_ab) < 1e-12
     assert out[2] == 0.0 and out[3] == 0.0  # <2 tokens
+
+
+def test_token_frequencies(spark):
+    from punt_spark.dataops.textstats import token_frequencies
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "  ")], "doc_id long, text string"
+    )
+    out = {r["token"]: (r["count"], r["doc_freq"])
+           for r in token_frequencies(df).collect()}
+    assert out == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
