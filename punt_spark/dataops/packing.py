@@ -51,7 +51,19 @@ def pack_sequences(
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % shards
     ).alias("shard")
     if tokens_col is not None:
-        tokens = F.col(tokens_col).cast("bigint")
+        # A NULL token count would silently poison the cumsum (sum() skips
+        # NULLs, so LATER rows pack fine while this row gets NULL
+        # seq_id/seq_offset with no error) — fail loudly instead; the
+        # derived-count branch below is always non-null by construction.
+        tokens = F.coalesce(
+            F.col(tokens_col).cast("bigint"),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"pack_sequences: NULL {tokens_col!r} for id="),
+                    F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+                )
+            ).cast("bigint"),
+        )
     else:
         tokens = F.when(
             F.length(F.trim(F.col(text_col))) > 0,

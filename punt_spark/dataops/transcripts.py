@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sql_str_literal(s: str) -> str:
+    """Quote a Python string as a Spark SQL string literal (the separators
+    are interpolated into an F.expr — a quote or backslash in them must not
+    break out of, or inject into, the expression)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def render_conversations(
     df: DataFrame,
     conv_col: str = "conv_id",
@@ -41,21 +48,26 @@ def render_conversations(
     The per-turn text equality invariant survives rendering: sorting is on
     the collected struct, so re-partitioning cannot reorder turns.
     """
+    # NULL role/text coalesce to '' so the turn still renders (concat of a
+    # NULL would make the whole line NULL and array_join would silently
+    # drop it while n_turns counted it).
     turn = F.struct(
         *[F.col(c) for c in order_cols],
-        F.col(role_col).alias("__role"),
-        F.col(text_col).alias("__text"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("__role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__text"),
     )
     agg = df.groupBy(conv_col).agg(
         F.sort_array(F.collect_list(turn)).alias("__turns"),
         F.count(F.lit(1)).alias("n_turns"),
         F.sort_array(F.collect_set(role_col)).alias("roles"),
     )
-    line = f"concat(t.__role, '{role_sep}', t.__text)"
+    role_sep_q = _sql_str_literal(role_sep)
+    turn_sep_q = _sql_str_literal(turn_sep)
+    line = f"concat(t.__role, {role_sep_q}, t.__text)"
     return agg.select(
         F.col(conv_col),
         F.expr(
-            f"array_join(transform(__turns, t -> {line}), '{turn_sep}')"
+            f"array_join(transform(__turns, t -> {line}), {turn_sep_q})"
         ).alias("text"),
         "n_turns",
         "roles",

@@ -44,7 +44,11 @@ RFC3164_REGEX = (
     r"<([0-9]+)>([A-Z][a-z][a-z]\s{1,2}\d{1,2}\s\d{2}[:]\d{2}[:]\d{2})"
     r"\s([\w][\w\d\.@-]*)\s([^: \[]+)(?:\[([0-9]+)\])?[: \[] ?([\s\S]*)"
 )
-RFC3164_PATTERN = re.compile(RFC3164_REGEX)
+# re.ASCII pins \w/\d/\s to ASCII — the RE2 semantics of both the Go
+# reference (parser.go:11) and the pyarrow fast path. Without it the
+# fallback alone would accept non-ASCII hostnames ('hést') and NBSP
+# separators, silently shifting behavior when pyarrow is absent.
+RFC3164_PATTERN = re.compile(RFC3164_REGEX, re.ASCII)
 
 # Named-group variant for the pyarrow RE2 fast path (extract_regex requires
 # named groups). Same pattern — the reference's Go regexp IS RE2

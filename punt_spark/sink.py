@@ -108,6 +108,13 @@ class SnapshotTable:
             with open(self._spec_path) as f:
                 existing = json.load(f)["partition_cols"]
             if existing != part_cols:
+                # A spec pinned by a commit that FAILED before publishing
+                # any snapshot must not wedge the table forever: with zero
+                # published snapshots the old spec is unobservable by any
+                # reader, so adopt the new one.
+                if not self.snapshots():
+                    self._write_spec(part_cols)
+                    return
                 raise ValueError(
                     f"partition spec mismatch on {self.root!r}: table has "
                     f"{existing}, commit attempted {part_cols}"
@@ -130,6 +137,9 @@ class SnapshotTable:
                     f"partition spec mismatch on {self.root!r}: table has "
                     f"{existing}, commit attempted {part_cols}"
                 )
+        self._write_spec(part_cols)
+
+    def _write_spec(self, part_cols: list[str]):
         tmp = self._spec_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"partition_cols": part_cols}, f)

@@ -818,6 +818,18 @@ def test_pack_sequences(spark):
     assert a == b
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(df, "doc_id", budget=0)
+    # an explicit tokens_col with a NULL count fails LOUDLY (silent NULL
+    # seq_id/seq_offset rows were the failure mode)
+    tdf = spark.createDataFrame(
+        [(1, "a b", 2), (2, "c", None)],
+        "doc_id long, text string, n_tok int",
+    )
+    ok = pack_sequences(
+        tdf.filter("n_tok is not null"), "doc_id", budget=10, tokens_col="n_tok"
+    )
+    assert ok.count() == 1
+    with pytest.raises(Exception, match="NULL 'n_tok' for id=2"):
+        pack_sequences(tdf, "doc_id", budget=10, tokens_col="n_tok").collect()
 
 
 def test_render_conversations(spark):
@@ -840,6 +852,16 @@ def test_render_conversations(spark):
     assert out["c1"]["n_turns"] == 3
     assert out["c1"]["roles"] == ["assistant", "user"]
     assert out["c2"]["text"] == "user: solo"
+    # NULL role/text render as '' instead of silently vanishing from the
+    # document while n_turns still counts them; quote-bearing separators
+    # are escaped, not injected into the SQL expr
+    nrows = [("c3", 0, None, "orphan"), ("c3", 1, "user", None)]
+    ndf = spark.createDataFrame(
+        nrows, "conv_id string, turn_idx int, role string, text string"
+    )
+    nr = render_conversations(ndf, turn_sep="'\\x", role_sep="'; ").collect()[0]
+    assert nr["text"] == "'; orphan'\\xuser'; "
+    assert nr["n_turns"] == 2
     # rendered output feeds the document ops directly (dedup fingerprint)
     from punt_spark.dataops import textstats
 

@@ -149,10 +149,20 @@ def test_arrow_extract_matches_python():
     # exercise edge inputs too
     texts = pd.concat(
         [texts, pd.Series(["", None, "<13>", "no match at all",
-                           "<999>Mar 14 04:00:00 h tag: x"], dtype=object)],
+                           "<999>Mar 14 04:00:00 h tag: x",
+                           # non-ASCII: \w/\s are ASCII-only under RE2 (the
+                           # Go reference's semantics); the Python fallback
+                           # is compiled with re.ASCII to pin the same —
+                           # both must REJECT these
+                           "<13>Mar 14 04:20:19 hést tag: x",
+                           "<13>Mar 14 04:20:19 h tag: x",
+                           "<13>Mar 14 04:20:19 h tag: x"],
+                          dtype=object)],
         ignore_index=True,
     )
     fast_ext, fast_m = P._extract_groups(texts)
+    # the three non-ASCII probes are rejected by BOTH paths
+    assert not fast_m.iloc[-3:].any()
     ext = texts.str.extract(P.RFC3164_PATTERN)
     ext.columns = P._GROUPS
     slow_m = ext["pri"].notna()

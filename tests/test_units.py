@@ -1,5 +1,6 @@
 """Unit tests for the individual operator modules + property tests."""
 
+import json
 import os
 
 import pandas as pd
@@ -325,6 +326,27 @@ def test_partition_spec_is_immutable(spark, tmp_path):
         tbl.commit(df, "s3", partition_cols=[])
     # the spec is cached in ONE table-level file → O(1) per commit
     assert os.path.exists(tbl._spec_path)
+
+
+def test_partition_spec_failed_first_commit_not_pinned(spark, tmp_path):
+    """A first commit that pins the spec but FAILS before publishing any
+    snapshot must not wedge the empty table: the next commit with a
+    different (legitimate) spec adopts its own spec."""
+    from punt_spark.sink import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "wedge_tbl"))
+    df = spark.createDataFrame(
+        [("a", "r1", "d1")], "conv_id string, route_key string, ts_day string"
+    )
+    # simulate: spec check ran for a commit that then crashed pre-publish
+    tbl._check_partition_spec(["route_key"])
+    assert not tbl.snapshots()
+    tbl.commit(df, "s1")  # default (route_key, ts_day) spec — must succeed
+    with open(tbl._spec_path) as f:
+        assert json.load(f)["partition_cols"] == ["route_key", "ts_day"]
+    # once a snapshot exists the spec really is immutable again
+    with pytest.raises(ValueError, match="partition spec mismatch"):
+        tbl.commit(df, "s2", partition_cols=[])
 
 
 def test_partition_spec_legacy_migration(spark, tmp_path):
