@@ -490,14 +490,18 @@ def dup_clusters(
     """
     from pyspark.sql import functions as F
 
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
-        )
-        .localCheckpoint()
+    # Materialize the PAIRS once, then derive both edge directions from the
+    # checkpointed blocks: symmetrizing first would put the full upstream
+    # pair-generation lineage (shingle → signature → band join for the
+    # minhash producers) under BOTH union branches, computing it twice in
+    # the edges job unless exchange reuse happens to fire. One checkpoint of
+    # the half-size pair set + a cheap in-memory union is strictly less
+    # work, and every round's plan compiles against a flat scan.
+    half = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).localCheckpoint()
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     labels = (
         edges.select(F.col("src").alias("id"))

@@ -205,7 +205,9 @@ def with_idf_score(
     Shape at scale: one explode + groupBy(token) builds the document-
     frequency table (map-side combined — cardinality is the vocabulary,
     not the corpus), one join back on token, one groupBy(id) for the mean.
-    No window over the corpus, no driver-side vocabulary."""
+    No window over the corpus, no driver-side vocabulary. N (corpus doc
+    count, INCLUDING empty docs) rides the same plan as a broadcast 1-row
+    aggregate — no eager count() job, no extra corpus scan at 100 TB."""
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -217,12 +219,13 @@ def with_idf_score(
             )
         ).alias("__tok"),
     )
-    n_docs = df.count()
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__n_docs"))
     dfreq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     scores = (
         toks.join(dfreq, "__tok")
+        .crossJoin(F.broadcast(n_docs))
         .groupBy(id_col)
-        .agg(F.avg(F.log(F.lit(float(n_docs)) / F.col("__df"))).alias(out))
+        .agg(F.avg(F.log(F.col("__n_docs") / F.col("__df"))).alias(out))
     )
     return df.join(scores, id_col, "left").withColumn(
         out, F.coalesce(F.col(out), F.lit(0.0))
@@ -246,7 +249,9 @@ def with_bigram_logprob(
     Shape at scale: token explode → two count tables (bigram + unigram,
     both vocabulary-bounded, map-side combined) → joins back on the bigram
     stream → per-doc mean. Same two-shuffle shape as ``with_idf_score``;
-    documents with < 2 tokens score 0.
+    documents with < 2 tokens score 0. V (unigram vocabulary size over ALL
+    tokens, 1-token docs included) rides the plan as a broadcast 1-row
+    aggregate — no eager distinct().count() job over the corpus.
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
@@ -268,18 +273,19 @@ def with_bigram_logprob(
         F.count(F.lit(1)).alias("c12")
     )
     uni_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab_size = (
-        d.select(F.explode("__toks").alias("w")).select("w").distinct().count()
+    vocab = d.select(F.explode("__toks").alias("w")).agg(
+        F.count_distinct(F.col("w")).cast("double").alias("__v")
     )
     scored = (
         bigrams.join(bg_counts, ["w1", "w2"])
         .join(uni_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.avg(
                 F.log(
                     (F.col("c12") + F.lit(alpha))
-                    / (F.col("c1") + F.lit(alpha * vocab_size))
+                    / (F.col("c1") + F.lit(alpha) * F.col("__v"))
                 )
             ).alias(out)
         )

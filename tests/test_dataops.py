@@ -763,7 +763,17 @@ def test_idf_score(spark):
         [(0, "common common rare"), (1, "common also"), (2, "")],
         "doc_id long, text string",
     )
-    out = {r["doc_id"]: r["idf_score"] for r in with_idf_score(df).collect()}
+    # building the plan must launch NO Spark job: N used to be an eager
+    # df.count() (a full corpus scan at plan-build time); it now rides the
+    # main plan as a broadcast 1-row aggregate
+    sc = spark.sparkContext
+    sc.setJobGroup("idf-build-probe", "plan build must be lazy")
+    try:
+        scored = with_idf_score(df)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sc.statusTracker().getJobIdsForGroup("idf-build-probe") == []
+    out = {r["doc_id"]: r["idf_score"] for r in scored.collect()}
     # N=3; df(common)=2, df(rare)=1, df(also)=1
     assert abs(out[0] - (math.log(3 / 2) + math.log(3)) / 2) < 1e-12
     assert abs(out[1] - (math.log(3 / 2) + math.log(3)) / 2) < 1e-12
@@ -906,9 +916,17 @@ def test_bigram_logprob(spark):
         [(0, "a b a b"), (1, "a b"), (2, "x"), (3, "")],
         "doc_id long, text string",
     )
+    # plan build launches NO job (V used to be an eager distinct().count())
+    sc = spark.sparkContext
+    sc.setJobGroup("blp-build-probe", "plan build must be lazy")
+    try:
+        scored = with_bigram_logprob(df)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert sc.statusTracker().getJobIdsForGroup("blp-build-probe") == []
     out = {
         r["doc_id"]: r["bigram_logprob"]
-        for r in with_bigram_logprob(df).collect()
+        for r in scored.collect()
     }
     # corpus bigrams: doc0: (a,b),(b,a),(a,b); doc1: (a,b)
     # c(a b)=3, c(b a)=1; c1(a)=3, c1(b)=1; V = |{a,b,x}| = 3
