@@ -69,6 +69,7 @@ class Pipeline:
         parallel_sink_writes: bool = True,
         frame_mode: str = "none",
         cluster: str | None = None,
+        max_dynamic_tags: int = 100,
     ):
         """``cluster`` selects a ClusterConfig lane (reference: one Punt
         Config drives several clusters, each with its own ES URL + worker
@@ -99,6 +100,8 @@ class Pipeline:
         self.max_chunks_per_group = max_chunks_per_group
         self.parallel_sink_writes = parallel_sink_writes
         self.frame_mode = frame_mode
+        # dynamic-tag metrics cap: top-K named tags per chunk + '__other__'
+        self.max_dynamic_tags = max_dynamic_tags
         self.metrics = MetricsCollector(self.cfg.job_id)
         os.makedirs(os.path.join(out_dir, "_chunks"), exist_ok=True)
         self.sinks = {
@@ -408,11 +411,31 @@ class Pipeline:
         sink's own write job as observation metrics (see
         ``_observe_sink_counters``), keeping this scan free of the unpack
         JSON check for all statically-routed rows.
+
+        Driver-side cardinality is BOUNDED: dynamic tags are data-dependent
+        (adversarial tag cardinality is unbounded at 100 TB — the
+        reference's per-tag statsd has the same exposure), so only the
+        top-``max_dynamic_tags`` tags per chunk (by count, ties by tag)
+        come back as named rows; the rest collapse into one ``__other__``
+        bucket per chunk, keeping totals exact. The whole thing stays ONE
+        LINEAR plan / one job: a branched plan (pid rollup ∪ tag rollup)
+        cannot share the base exchange because ``spark_partition_id`` is
+        non-deterministic (sameResult() is false → no ReuseExchange →
+        the cache would materialize once per branch; measured 3×
+        parse_latency). Instead each base row explodes into its applicable
+        (lineage / dynamic-tag) accounting rows and ONE second aggregate
+        computes pid sums and per-chunk tag arrays together; the top-K cut
+        happens executor-side (sort_array + slice), so the driver sees
+        #pids + #chunks rows. The collect_list buffer holds one chunk's
+        (tag, n) pairs on one executor — vocabulary-bounded, and strictly
+        smaller than the old plan, which shipped the same set to the
+        driver.
         """
         from .transform import json_ok
 
         m = self.metrics
         cfg = self.cfg
+        k = self.max_dynamic_tags
         static_tags = [t.name for t in cfg.types.values() if t.name != "*"]
         catch = cfg.catchall
         is_static = F.col("tag").isin(static_tags)
@@ -429,7 +452,7 @@ class Pipeline:
                     F.when(~is_static & ~json_ok(), 1).otherwise(0)
                 ).alias("n_fail")
             )
-        stats = (
+        base = (
             cached.filter(F.col("parse_ok"))
             .groupBy(
                 F.spark_partition_id().alias("pid"),
@@ -437,39 +460,98 @@ class Pipeline:
                 F.col("tag"),
             )
             .agg(*aggs)
+        )
+        if not check_json:
+            base = base.withColumn("n_fail", F.lit(0).cast("bigint"))
+        routed = is_static | F.lit(catch is not None)
+        row_schema = (
+            "struct<kind:string,key:string,tag:string,n:bigint,n_fail:bigint>"
+        )
+        acct = F.filter(
+            F.array(
+                F.when(
+                    routed,
+                    F.struct(
+                        F.lit("lin").alias("kind"),
+                        F.col("pid").cast("string").alias("key"),
+                        F.lit(None).cast("string").alias("tag"),
+                        F.col("n"),
+                        F.col("n_fail"),
+                    ),
+                ).cast(row_schema),
+                F.when(
+                    ~is_static,
+                    F.struct(
+                        F.lit("dyn").alias("kind"),
+                        F.col(CHUNK_COL).alias("key"),
+                        F.col("tag"),
+                        F.col("n"),
+                        F.col("n_fail"),
+                    ),
+                ).cast(row_schema),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        stats = (
+            base.select(F.explode(acct).alias("a"))
+            .select("a.*")
+            .groupBy("kind", "key")
+            .agg(
+                F.sum("n").alias("total_n"),
+                F.sum("n_fail").alias("total_fail"),
+                # struct(-n, tag, …) sorts ascending ⇒ highest n first,
+                # ties by tag; lin rows contribute NULL → skipped
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("kind") == "dyn",
+                            F.struct(
+                                (-F.col("n")).alias("neg_n"),
+                                F.col("tag"),
+                                F.col("n_fail"),
+                            ),
+                        )
+                    )
+                ).alias("arr"),
+            )
+            .select(
+                "kind",
+                "key",
+                "total_n",
+                "total_fail",
+                F.slice(F.col("arr"), 1, k).alias("top"),
+            )
             .collect()
         )
-        static_set = set(static_tags)
-        dyn: dict[tuple, list[int]] = {}
-        lineage: dict[int, int] = {}
-        for r in stats:
-            n = int(r["n"])
-            routed_row = r["tag"] in static_set or catch is not None
-            if routed_row:
-                lineage[r["pid"]] = lineage.get(r["pid"], 0) + n
-            if r["tag"] in static_set:
-                continue  # static counters ride the sink write jobs
-            acc = dyn.setdefault((r[CHUNK_COL], r["tag"]), [0, 0])
-            acc[0] += n
-            acc[1] += int(r["n_fail"]) if check_json else 0
-        for (c, tag), (n, n_fail) in sorted(dyn.items()):
-            if catch is None:
-                m.count("msgs.unhandled", c, n, tag=tag)
+        for r in sorted(stats, key=lambda r: (r["kind"], r["key"])):
+            if r["kind"] == "lin":
+                if r["total_n"]:
+                    m.rows.append(
+                        {
+                            "chunk": glabel,
+                            "metric": "lineage.routed.partition_rows",
+                            "tag": r["key"],
+                            "value": int(r["total_n"]),
+                        }
+                    )
                 continue
-            m.count("msgs.received", c, n, tag=tag)
-            if n_fail:
-                m.count("msgs.failed", c, n_fail, tag=tag)
-            if n - n_fail:
-                m.count("msgs.processed", c, n - n_fail, tag=tag)
-        for pid, n in sorted(lineage.items()):
-            m.rows.append(
-                {
-                    "chunk": glabel,
-                    "metric": "lineage.routed.partition_rows",
-                    "tag": str(pid),
-                    "value": n,
-                }
-            )
+            c = r["key"]
+            named = [
+                (t["tag"], -int(t["neg_n"]), int(t["n_fail"])) for t in r["top"]
+            ]
+            other_n = int(r["total_n"]) - sum(n for _, n, _ in named)
+            other_fail = int(r["total_fail"]) - sum(f for _, _, f in named)
+            if other_n:
+                named.append(("__other__", other_n, other_fail))
+            for tag, n, n_fail in named:
+                if catch is None:
+                    m.count("msgs.unhandled", c, n, tag=tag)
+                    continue
+                m.count("msgs.received", c, n, tag=tag)
+                if n_fail:
+                    m.count("msgs.failed", c, n_fail, tag=tag)
+                if n - n_fail:
+                    m.count("msgs.processed", c, n - n_fail, tag=tag)
 
     @staticmethod
     def _sink_counter_exprs(t: TypeConfig, group) -> list:

@@ -120,6 +120,52 @@ def test_metrics_counters_match_oracle(run):
     assert got == want
 
 
+def test_dynamic_tag_metrics_bounded(spark, tmp_path):
+    """Adversarial dynamic-tag cardinality must not land on the driver:
+    with 10k distinct tags and max_dynamic_tags=5 the driver receives at
+    most 6 named tag rows per chunk (top-5 + '__other__') while the chunk
+    total stays exact."""
+    cfg = default_config()
+    n = 10_000
+    df = spark.range(n).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(
+            F.lit("<13>Mar 10 04:00:00 h tag"),
+            F.lpad(F.col("id").cast("string"), 5, "0"),
+            F.lit(": x"),
+        ).alias("text"),
+        F.lit("t").alias("tool"),
+        F.lit("2017-03-10 04:00:00").cast("timestamp").alias("ts"),
+    )
+    pipe = Pipeline(
+        spark, cfg, out_dir=str(tmp_path / "out"), max_dynamic_tags=5
+    )
+    pipe.run(df)
+    static = {t.name for t in cfg.types.values() if t.name != "*"}
+    recv = [
+        r
+        for r in pipe.metrics.rows
+        if r["metric"] == "msgs.received" and r["tag"] not in static
+    ]
+    dyn_tags = {r["tag"] for r in recv}
+    assert "__other__" in dyn_tags
+    assert len(dyn_tags) <= 6  # 5 named + __other__
+    # every tag count is 1 → deterministic top-5 is the 5 smallest tags
+    assert sorted(dyn_tags - {"__other__"}) == [
+        f"tag{i:05d}" for i in range(5)
+    ]
+    assert sum(r["value"] for r in recv) == n  # totals stay exact
+    # per-pid lineage survived the same single collect
+    lin = [
+        r
+        for r in pipe.metrics.rows
+        if r["metric"] == "lineage.routed.partition_rows"
+    ]
+    assert sum(r["value"] for r in lin) == n
+
+
 def test_inserted_counts(run):
     pipe, result, oracle, cfg = run
     per_sink: dict[str, int] = {}
