@@ -56,7 +56,268 @@ from .sink import (
 from .transform import apply_transformer
 
 
-class Pipeline:
+class MetricsPlumbing:
+    """Counter/lineage machinery shared by the batch ``Pipeline`` and the
+    ``StreamingPipeline`` (streaming.py): the scan-materialization
+    aggregate, the per-sink observation metrics, and the metrics.parquet
+    writer. Host class must provide ``metrics``, ``cfg``,
+    ``max_dynamic_tags``, and ``out_dir``."""
+
+    metrics: MetricsCollector
+    cfg: PipelineConfig
+    max_dynamic_tags: int
+    out_dir: str
+
+    def _record_scan_stats(self, cached: DataFrame, glabel: str) -> list[str]:
+        """The counters only the parse scan can supply, recorded by the
+        CACHE-MATERIALIZATION action itself (a full-scan grouped aggregate
+        computes every cached partition exactly like ``count()`` would, so
+        this costs zero additional jobs):
+
+        * ``lineage.routed.partition_rows`` — per-Spark-partition routed row
+          counts (north_rule lineage; ``spark_partition_id`` is captured
+          before the aggregation shuffle and is identical to the pid the
+          downstream narrow route join sees);
+        * the arbitrary-tag bucket, whose tag values are data-dependent and
+          so can never ride a plan-time observation: with a '*' type,
+          ``msgs.received/processed[/failed]`` per (chunk, tag) for
+          catch-all-routed rows (tag ∉ static type names); without one,
+          ``msgs.unhandled`` per (chunk, tag) (cluster.go:258-262).
+
+        Static-tag sink counters are NOT computed here — they ride each
+        sink's own write job as observation metrics (see
+        ``_observe_sink_counters``), keeping this scan free of the unpack
+        JSON check for all statically-routed rows.
+
+        Driver-side cardinality is BOUNDED: dynamic tags are data-dependent
+        (adversarial tag cardinality is unbounded at 100 TB — the
+        reference's per-tag statsd has the same exposure), so only the
+        top-``max_dynamic_tags`` tags per chunk (by count, ties by tag)
+        come back as named rows; the rest collapse into one ``__other__``
+        bucket per chunk, keeping totals exact. The whole thing stays ONE
+        LINEAR plan / one job: a branched plan (pid rollup ∪ tag rollup)
+        cannot share the base exchange because ``spark_partition_id`` is
+        non-deterministic (sameResult() is false → no ReuseExchange →
+        the cache would materialize once per branch; measured 3×
+        parse_latency). Instead each base row explodes into its applicable
+        (lineage / dynamic-tag / chunk-roster) accounting rows and ONE
+        second aggregate computes pid sums and per-chunk tag arrays
+        together; the top-K cut happens executor-side (sort_array + slice),
+        so the driver sees #pids + 2×#chunks rows. The collect_list buffer
+        holds one chunk's (tag, n) pairs on one executor —
+        vocabulary-bounded, and strictly smaller than the old plan, which
+        shipped the same set to the driver.
+
+        Returns the sorted list of chunks with ≥1 parsed row — the
+        streaming pipeline derives its per-chunk observation expressions
+        from this roster (the batch pipeline knows its group upfront).
+        """
+        from .transform import json_ok
+
+        m = self.metrics
+        cfg = self.cfg
+        k = self.max_dynamic_tags
+        static_tags = [t.name for t in cfg.types.values() if t.name != "*"]
+        catch = cfg.catchall
+        is_static = F.col("tag").isin(static_tags)
+        # The unpack JSON check (the json.Unmarshal failure the reference
+        # counts, transformers.go:44) applies to dynamic-tag rows only when
+        # the catch-all type itself unpacks — evaluate it only then.
+        check_json = catch is not None and catch.transformer in (
+            "unpack-merge", "unpack-take",
+        )
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if check_json:
+            aggs.append(
+                F.sum(
+                    F.when(~is_static & ~json_ok(), 1).otherwise(0)
+                ).alias("n_fail")
+            )
+        base = (
+            cached.filter(F.col("parse_ok"))
+            .groupBy(
+                F.spark_partition_id().alias("pid"),
+                F.col(CHUNK_COL),
+                F.col("tag"),
+            )
+            .agg(*aggs)
+        )
+        if not check_json:
+            base = base.withColumn("n_fail", F.lit(0).cast("bigint"))
+        routed = is_static | F.lit(catch is not None)
+        row_schema = (
+            "struct<kind:string,key:string,tag:string,n:bigint,n_fail:bigint>"
+        )
+        acct = F.filter(
+            F.array(
+                F.when(
+                    routed,
+                    F.struct(
+                        F.lit("lin").alias("kind"),
+                        F.col("pid").cast("string").alias("key"),
+                        F.lit(None).cast("string").alias("tag"),
+                        F.col("n"),
+                        F.col("n_fail"),
+                    ),
+                ).cast(row_schema),
+                F.when(
+                    ~is_static,
+                    F.struct(
+                        F.lit("dyn").alias("kind"),
+                        F.col(CHUNK_COL).alias("key"),
+                        F.col("tag"),
+                        F.col("n"),
+                        F.col("n_fail"),
+                    ),
+                ).cast(row_schema),
+                # chunk roster — every parsed chunk, static-only included
+                F.struct(
+                    F.lit("chk").alias("kind"),
+                    F.col(CHUNK_COL).alias("key"),
+                    F.lit(None).cast("string").alias("tag"),
+                    F.col("n"),
+                    F.col("n_fail"),
+                ).cast(row_schema),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        stats = (
+            base.select(F.explode(acct).alias("a"))
+            .select("a.*")
+            .groupBy("kind", "key")
+            .agg(
+                F.sum("n").alias("total_n"),
+                F.sum("n_fail").alias("total_fail"),
+                # struct(-n, tag, …) sorts ascending ⇒ highest n first,
+                # ties by tag; lin/chk rows contribute NULL → skipped
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("kind") == "dyn",
+                            F.struct(
+                                (-F.col("n")).alias("neg_n"),
+                                F.col("tag"),
+                                F.col("n_fail"),
+                            ),
+                        )
+                    )
+                ).alias("arr"),
+            )
+            .select(
+                "kind",
+                "key",
+                "total_n",
+                "total_fail",
+                F.slice(F.col("arr"), 1, k).alias("top"),
+            )
+            .collect()
+        )
+        chunks: list[str] = []
+        for r in sorted(stats, key=lambda r: (r["kind"], r["key"])):
+            if r["kind"] == "chk":
+                chunks.append(r["key"])
+                continue
+            if r["kind"] == "lin":
+                if r["total_n"]:
+                    m.rows.append(
+                        {
+                            "chunk": glabel,
+                            "metric": "lineage.routed.partition_rows",
+                            "tag": r["key"],
+                            "value": int(r["total_n"]),
+                        }
+                    )
+                continue
+            c = r["key"]
+            named = [
+                (t["tag"], -int(t["neg_n"]), int(t["n_fail"])) for t in r["top"]
+            ]
+            other_n = int(r["total_n"]) - sum(n for _, n, _ in named)
+            other_fail = int(r["total_fail"]) - sum(f for _, _, f in named)
+            if other_n:
+                named.append(("__other__", other_n, other_fail))
+            for tag, n, n_fail in named:
+                if catch is None:
+                    m.count("msgs.unhandled", c, n, tag=tag)
+                    continue
+                m.count("msgs.received", c, n, tag=tag)
+                if n_fail:
+                    m.count("msgs.failed", c, n_fail, tag=tag)
+                if n - n_fail:
+                    m.count("msgs.processed", c, n - n_fail, tag=tag)
+        return chunks
+
+    @staticmethod
+    def _sink_counter_exprs(t: TypeConfig, group) -> list:
+        """Per-chunk received/failed aggregate expressions for one
+        static-tag sink's pre-transform frame."""
+        from .transform import json_ok
+
+        exprs = []
+        for c in group:
+            exprs.append(
+                F.coalesce(
+                    F.sum(F.when(F.col(CHUNK_COL) == c, 1).otherwise(0)),
+                    F.lit(0),
+                ).alias(f"recv|{c}")
+            )
+        if t.transformer in ("unpack-merge", "unpack-take"):
+            bad = ~json_ok()
+            for c in group:
+                exprs.append(
+                    F.coalesce(
+                        F.sum(
+                            F.when((F.col(CHUNK_COL) == c) & bad, 1).otherwise(0)
+                        ),
+                        F.lit(0),
+                    ).alias(f"fail|{c}")
+                )
+        return exprs
+
+    def _observe_sink_counters(self, sub: DataFrame, t: TypeConfig, group):
+        """Attach per-chunk received/failed observation metrics to a
+        static-tag sink's pre-transform frame. The CollectMetrics node
+        evaluates during the sink's own write job — the counters are free.
+        Returns (Observation, observed_df)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return obs, sub.observe(obs, *self._sink_counter_exprs(t, group))
+
+    def _record_observed_counters(self, obs, t: TypeConfig, group, sub):
+        """Fold a sink write's observation into msgs.received/failed/
+        processed per (chunk, tag=t.name) — cluster.go:249-277 semantics."""
+        m = self.metrics
+        try:
+            # latched by the completed write job; never blocks here
+            vals = obs.get
+        except Exception:
+            # When the sink's shuffle stage outputs ZERO rows (empty sub, or
+            # every row dropped by the unpack transformer), AQE's
+            # empty-relation propagation prunes the CollectMetrics node from
+            # the final plan and the observation latches a schema-less row
+            # that the Py4J row conversion rejects. Recompute the same
+            # aggregates directly — this reads the warm parse cache and only
+            # fires for (near-)empty sinks, so it stays off the hot path.
+            vals = sub.agg(*self._sink_counter_exprs(t, group)).first().asDict()
+        for c in group:
+            n = int(vals.get(f"recv|{c}", 0) or 0)
+            n_fail = int(vals.get(f"fail|{c}", 0) or 0)
+            if n:
+                m.count("msgs.received", c, n, tag=t.name)
+            if n_fail:
+                m.count("msgs.failed", c, n_fail, tag=t.name)
+            if n - n_fail:
+                m.count("msgs.processed", c, n - n_fail, tag=t.name)
+
+    def _write_metrics(self):
+        pdf = self.metrics.to_pandas()
+        path = os.path.join(self.out_dir, "metrics.parquet")
+        if len(pdf):
+            pdf.to_parquet(path, index=False)
+
+
+class Pipeline(MetricsPlumbing):
     def __init__(
         self,
         spark: SparkSession,
@@ -390,237 +651,6 @@ class Pipeline:
             self._mark_chunk(
                 chunk, {"chunk": chunk, "group": gid, "committed_at": time.time()}
             )
-
-    def _record_scan_stats(self, cached: DataFrame, glabel: str):
-        """The counters only the parse scan can supply, recorded by the
-        CACHE-MATERIALIZATION action itself (a full-scan grouped aggregate
-        computes every cached partition exactly like ``count()`` would, so
-        this costs zero additional jobs):
-
-        * ``lineage.routed.partition_rows`` — per-Spark-partition routed row
-          counts (north_rule lineage; ``spark_partition_id`` is captured
-          before the aggregation shuffle and is identical to the pid the
-          downstream narrow route join sees);
-        * the arbitrary-tag bucket, whose tag values are data-dependent and
-          so can never ride a plan-time observation: with a '*' type,
-          ``msgs.received/processed[/failed]`` per (chunk, tag) for
-          catch-all-routed rows (tag ∉ static type names); without one,
-          ``msgs.unhandled`` per (chunk, tag) (cluster.go:258-262).
-
-        Static-tag sink counters are NOT computed here — they ride each
-        sink's own write job as observation metrics (see
-        ``_observe_sink_counters``), keeping this scan free of the unpack
-        JSON check for all statically-routed rows.
-
-        Driver-side cardinality is BOUNDED: dynamic tags are data-dependent
-        (adversarial tag cardinality is unbounded at 100 TB — the
-        reference's per-tag statsd has the same exposure), so only the
-        top-``max_dynamic_tags`` tags per chunk (by count, ties by tag)
-        come back as named rows; the rest collapse into one ``__other__``
-        bucket per chunk, keeping totals exact. The whole thing stays ONE
-        LINEAR plan / one job: a branched plan (pid rollup ∪ tag rollup)
-        cannot share the base exchange because ``spark_partition_id`` is
-        non-deterministic (sameResult() is false → no ReuseExchange →
-        the cache would materialize once per branch; measured 3×
-        parse_latency). Instead each base row explodes into its applicable
-        (lineage / dynamic-tag) accounting rows and ONE second aggregate
-        computes pid sums and per-chunk tag arrays together; the top-K cut
-        happens executor-side (sort_array + slice), so the driver sees
-        #pids + #chunks rows. The collect_list buffer holds one chunk's
-        (tag, n) pairs on one executor — vocabulary-bounded, and strictly
-        smaller than the old plan, which shipped the same set to the
-        driver.
-        """
-        from .transform import json_ok
-
-        m = self.metrics
-        cfg = self.cfg
-        k = self.max_dynamic_tags
-        static_tags = [t.name for t in cfg.types.values() if t.name != "*"]
-        catch = cfg.catchall
-        is_static = F.col("tag").isin(static_tags)
-        # The unpack JSON check (the json.Unmarshal failure the reference
-        # counts, transformers.go:44) applies to dynamic-tag rows only when
-        # the catch-all type itself unpacks — evaluate it only then.
-        check_json = catch is not None and catch.transformer in (
-            "unpack-merge", "unpack-take",
-        )
-        aggs = [F.count(F.lit(1)).alias("n")]
-        if check_json:
-            aggs.append(
-                F.sum(
-                    F.when(~is_static & ~json_ok(), 1).otherwise(0)
-                ).alias("n_fail")
-            )
-        base = (
-            cached.filter(F.col("parse_ok"))
-            .groupBy(
-                F.spark_partition_id().alias("pid"),
-                F.col(CHUNK_COL),
-                F.col("tag"),
-            )
-            .agg(*aggs)
-        )
-        if not check_json:
-            base = base.withColumn("n_fail", F.lit(0).cast("bigint"))
-        routed = is_static | F.lit(catch is not None)
-        row_schema = (
-            "struct<kind:string,key:string,tag:string,n:bigint,n_fail:bigint>"
-        )
-        acct = F.filter(
-            F.array(
-                F.when(
-                    routed,
-                    F.struct(
-                        F.lit("lin").alias("kind"),
-                        F.col("pid").cast("string").alias("key"),
-                        F.lit(None).cast("string").alias("tag"),
-                        F.col("n"),
-                        F.col("n_fail"),
-                    ),
-                ).cast(row_schema),
-                F.when(
-                    ~is_static,
-                    F.struct(
-                        F.lit("dyn").alias("kind"),
-                        F.col(CHUNK_COL).alias("key"),
-                        F.col("tag"),
-                        F.col("n"),
-                        F.col("n_fail"),
-                    ),
-                ).cast(row_schema),
-            ),
-            lambda x: x.isNotNull(),
-        )
-        stats = (
-            base.select(F.explode(acct).alias("a"))
-            .select("a.*")
-            .groupBy("kind", "key")
-            .agg(
-                F.sum("n").alias("total_n"),
-                F.sum("n_fail").alias("total_fail"),
-                # struct(-n, tag, …) sorts ascending ⇒ highest n first,
-                # ties by tag; lin rows contribute NULL → skipped
-                F.sort_array(
-                    F.collect_list(
-                        F.when(
-                            F.col("kind") == "dyn",
-                            F.struct(
-                                (-F.col("n")).alias("neg_n"),
-                                F.col("tag"),
-                                F.col("n_fail"),
-                            ),
-                        )
-                    )
-                ).alias("arr"),
-            )
-            .select(
-                "kind",
-                "key",
-                "total_n",
-                "total_fail",
-                F.slice(F.col("arr"), 1, k).alias("top"),
-            )
-            .collect()
-        )
-        for r in sorted(stats, key=lambda r: (r["kind"], r["key"])):
-            if r["kind"] == "lin":
-                if r["total_n"]:
-                    m.rows.append(
-                        {
-                            "chunk": glabel,
-                            "metric": "lineage.routed.partition_rows",
-                            "tag": r["key"],
-                            "value": int(r["total_n"]),
-                        }
-                    )
-                continue
-            c = r["key"]
-            named = [
-                (t["tag"], -int(t["neg_n"]), int(t["n_fail"])) for t in r["top"]
-            ]
-            other_n = int(r["total_n"]) - sum(n for _, n, _ in named)
-            other_fail = int(r["total_fail"]) - sum(f for _, _, f in named)
-            if other_n:
-                named.append(("__other__", other_n, other_fail))
-            for tag, n, n_fail in named:
-                if catch is None:
-                    m.count("msgs.unhandled", c, n, tag=tag)
-                    continue
-                m.count("msgs.received", c, n, tag=tag)
-                if n_fail:
-                    m.count("msgs.failed", c, n_fail, tag=tag)
-                if n - n_fail:
-                    m.count("msgs.processed", c, n - n_fail, tag=tag)
-
-    @staticmethod
-    def _sink_counter_exprs(t: TypeConfig, group) -> list:
-        """Per-chunk received/failed aggregate expressions for one
-        static-tag sink's pre-transform frame."""
-        from .transform import json_ok
-
-        exprs = []
-        for c in group:
-            exprs.append(
-                F.coalesce(
-                    F.sum(F.when(F.col(CHUNK_COL) == c, 1).otherwise(0)),
-                    F.lit(0),
-                ).alias(f"recv|{c}")
-            )
-        if t.transformer in ("unpack-merge", "unpack-take"):
-            bad = ~json_ok()
-            for c in group:
-                exprs.append(
-                    F.coalesce(
-                        F.sum(
-                            F.when((F.col(CHUNK_COL) == c) & bad, 1).otherwise(0)
-                        ),
-                        F.lit(0),
-                    ).alias(f"fail|{c}")
-                )
-        return exprs
-
-    def _observe_sink_counters(self, sub: DataFrame, t: TypeConfig, group):
-        """Attach per-chunk received/failed observation metrics to a
-        static-tag sink's pre-transform frame. The CollectMetrics node
-        evaluates during the sink's own write job — the counters are free.
-        Returns (Observation, observed_df)."""
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        return obs, sub.observe(obs, *self._sink_counter_exprs(t, group))
-
-    def _record_observed_counters(self, obs, t: TypeConfig, group, sub):
-        """Fold a sink write's observation into msgs.received/failed/
-        processed per (chunk, tag=t.name) — cluster.go:249-277 semantics."""
-        m = self.metrics
-        try:
-            # latched by the completed write job; never blocks here
-            vals = obs.get
-        except Exception:
-            # When the sink's shuffle stage outputs ZERO rows (empty sub, or
-            # every row dropped by the unpack transformer), AQE's
-            # empty-relation propagation prunes the CollectMetrics node from
-            # the final plan and the observation latches a schema-less row
-            # that the Py4J row conversion rejects. Recompute the same
-            # aggregates directly — this reads the warm parse cache and only
-            # fires for (near-)empty sinks, so it stays off the hot path.
-            vals = sub.agg(*self._sink_counter_exprs(t, group)).first().asDict()
-        for c in group:
-            n = int(vals.get(f"recv|{c}", 0) or 0)
-            n_fail = int(vals.get(f"fail|{c}", 0) or 0)
-            if n:
-                m.count("msgs.received", c, n, tag=t.name)
-            if n_fail:
-                m.count("msgs.failed", c, n_fail, tag=t.name)
-            if n - n_fail:
-                m.count("msgs.processed", c, n - n_fail, tag=t.name)
-
-    def _write_metrics(self):
-        pdf = self.metrics.to_pandas()
-        path = os.path.join(self.out_dir, "metrics.parquet")
-        if len(pdf):
-            pdf.to_parquet(path, index=False)
 
     # -- maintenance -----------------------------------------------------------
 

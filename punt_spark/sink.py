@@ -153,15 +153,57 @@ class SnapshotTable:
         os.replace(tmp, os.path.join(self.snap_dir, f"{sid}.json"))
         return manifest
 
+    def _read_footers(self, files: list[str]) -> dict[str, int]:
+        """Per-file row counts from parquet footers, threaded (metadata-only
+        driver I/O, no Spark job — the Iceberg-manifest row-count analog)."""
+        if not files:
+            return {}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(files))) as ex:
+            return dict(
+                zip(
+                    files,
+                    ex.map(
+                        lambda rel: _parquet_file_rows(
+                            os.path.join(self.root, rel)
+                        ),
+                        files,
+                    ),
+                )
+            )
+
+    @staticmethod
+    def _partition_lineage(files: list[str], footer_rows: dict[str, int]) -> dict:
+        """{partition_rows: {"<route_key>|<ts_day>": rows}, n_rows} from a
+        snapshot's file list + footer counts."""
+        partition_rows: dict[str, int] = {}
+        n_rows = 0
+        for rel in files:
+            n = footer_rows[rel]
+            key = "|".join(
+                seg.split("=", 1)[1]
+                for seg in rel.split(os.sep)
+                if "=" in seg
+                and not seg.startswith((f"{CHUNK_COL}=", "batch="))
+            )
+            partition_rows[key or "_"] = partition_rows.get(key or "_", 0) + n
+            n_rows += n
+        return {"partition_rows": partition_rows, "n_rows": n_rows}
+
     def commit(
         self,
         df: DataFrame,
         snapshot_id: str,
         partition_cols: list[str] | None = None,
         lineage: dict | None = None,
+        footer_lineage: bool = False,
     ) -> dict:
-        """Single-snapshot commit (side tables, tests). Idempotent:
-        recommitting the same id replaces it atomically."""
+        """Single-snapshot commit (side tables, streaming micro-batches,
+        tests). Idempotent: recommitting the same id replaces it atomically.
+        ``footer_lineage=True`` derives per-partition row counts from the
+        just-written parquet footers (same free lineage as
+        ``commit_batch``); an explicit ``lineage`` dict wins."""
         part_cols = (
             partition_cols
             if partition_cols is not None
@@ -173,6 +215,8 @@ class SnapshotTable:
             os.path.relpath(f, self.root)
             for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
         ]
+        if lineage is None and footer_lineage:
+            lineage = self._partition_lineage(files, self._read_footers(files))
         return self._publish(
             {
                 "snapshot_id": snapshot_id,
@@ -217,48 +261,20 @@ class SnapshotTable:
                 if seg.startswith(f"{CHUNK_COL}="):
                     by_chunk.setdefault(seg.split("=", 1)[1], []).append(rel)
                     break
-        # Footer reads are independent metadata-only I/O — thread them
-        # across ALL chunks' files so commit latency is bounded by the
-        # slowest read, not the file count (O(files) serial reads were the
+        # Footer reads are independent metadata-only I/O — threaded across
+        # ALL chunks' files so commit latency is bounded by the slowest
+        # read, not the file count (O(files) serial reads were the
         # per-commit driver cost flagged at 10⁵-commit scale).
         footer_rows: dict[str, int] = {}
         if footer_lineage:
-            all_files = [rel for files in by_chunk.values() for rel in files]
-            if all_files:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(
-                    max_workers=min(8, len(all_files))
-                ) as ex:
-                    for rel, n in zip(
-                        all_files,
-                        ex.map(
-                            lambda rel: _parquet_file_rows(
-                                os.path.join(self.root, rel)
-                            ),
-                            all_files,
-                        ),
-                    ):
-                        footer_rows[rel] = n
+            footer_rows = self._read_footers(
+                [rel for files in by_chunk.values() for rel in files]
+            )
         out = {}
         for chunk, files in by_chunk.items():
             lineage: dict = {}
             if footer_lineage:
-                partition_rows: dict[str, int] = {}
-                n_rows = 0
-                for rel in files:
-                    n = footer_rows[rel]
-                    key = "|".join(
-                        seg.split("=", 1)[1]
-                        for seg in rel.split(os.sep)
-                        if "=" in seg
-                        and not seg.startswith((f"{CHUNK_COL}=", "batch="))
-                    )
-                    partition_rows[key or "_"] = (
-                        partition_rows.get(key or "_", 0) + n
-                    )
-                    n_rows += n
-                lineage = {"partition_rows": partition_rows, "n_rows": n_rows}
+                lineage = self._partition_lineage(files, footer_rows)
             out[chunk] = self._publish(
                 {
                     "snapshot_id": chunk,

@@ -21,14 +21,17 @@ no late-data concept at all; its windows are wall-clock arrival-based).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .alerts import matched_events, render_actions, rollup_all
-from .config import PipelineConfig, default_config
+from .config import PipelineConfig, TypeConfig, default_config
 from .enrich import apply_mutators
-from .parse import with_parsed
+from .metrics import MetricsCollector
+from .parse import with_parsed, with_parsed_native
+from .pipeline import MetricsPlumbing
 from .route import route, routes_df
 from .sink import CHUNK_COL, SnapshotTable, enforce_mapping, salted_write_layout
 from .transform import apply_transformer
@@ -39,7 +42,7 @@ TRANSCRIPT_SCHEMA = (
 )
 
 
-class StreamingPipeline:
+class StreamingPipeline(MetricsPlumbing):
     def __init__(
         self,
         spark: SparkSession,
@@ -47,16 +50,42 @@ class StreamingPipeline:
         out_dir: str = "./punt_stream_out",
         lookups: dict[str, DataFrame] | None = None,
         dedup_within: str | None = None,
+        use_native_parse: bool = False,
+        collect_metrics: bool = False,
+        parallel_sink_writes: bool = True,
+        frame_mode: str = "none",
+        max_dynamic_tags: int = 100,
     ):
         """``dedup_within`` (e.g. "10 minutes") enables ingest-time exact
         dedup on (conv_id, turn_idx) via ``dedup_stream`` — an
         at-least-once source (the reference's UDP listener, a retrying
-        producer) stops double-counting without unbounded state."""
+        producer) stops double-counting without unbounded state.
+
+        The processing knobs mirror the batch ``Pipeline``:
+        ``use_native_parse`` (JVM regexp path), ``frame_mode``
+        (newline/octet framing before parse), ``parallel_sink_writes``
+        (concurrent snapshot commits from driver threads), and
+        ``collect_metrics`` — the same zero-extra-job counter set as batch
+        (scan-materialization aggregate + per-sink observe() + manifest
+        footer lineage), accumulated across micro-batches and written to
+        ``<out>/metrics.parquet`` when the drain finishes. Counter
+        attribution granularity differs ONLY for commit-derived counters
+        (msgs.inserted / parse_errors): their chunk label is the
+        micro-batch id, because one streaming snapshot may span several
+        ts-days; per-tag totals still line up with batch exactly."""
+        if frame_mode not in ("none", "newline", "octet"):
+            raise ValueError(f"unknown frame_mode {frame_mode!r}")
         self.spark = spark
         self.cfg = cfg or default_config()
         self.out_dir = out_dir
         self.lookups = lookups or {}
         self.dedup_within = dedup_within
+        self.use_native_parse = use_native_parse
+        self.collect_metrics = collect_metrics
+        self.parallel_sink_writes = parallel_sink_writes
+        self.frame_mode = frame_mode
+        self.max_dynamic_tags = max_dynamic_tags
+        self.metrics = MetricsCollector(self.cfg.job_id)
         self.checkpoint = os.path.join(out_dir, "_checkpoint")
         self.sinks = {
             t.sink_name: SnapshotTable(os.path.join(out_dir, t.sink_name))
@@ -69,25 +98,54 @@ class StreamingPipeline:
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int):
         """foreachBatch body — mirrors Pipeline._run_group for one
-        micro-batch. Snapshot id = batch id → re-delivered batches (after a
-        checkpoint recovery) overwrite idempotently instead of duplicating."""
+        micro-batch: slim parse cache, scan-stats materialization,
+        concurrent per-sink transform→enrich→commit with observation
+        counters, errors/alerts/actions side outputs. Snapshot id = batch
+        id → re-delivered batches (after a checkpoint recovery) overwrite
+        idempotently instead of duplicating."""
         cfg = self.cfg
+        m = self.metrics
+        sid = f"batch-{batch_id:08d}"
         gdf = batch_df.withColumn(
             CHUNK_COL, F.date_format("ts", "yyyy-MM-dd")
         ).withColumnRenamed("ts", "turn_ts")
-        cached = (
-            with_parsed(gdf, "text", cfg.reference_year)
-            .select(
-                CHUNK_COL,
-                "conv_id", "turn_idx", "role", "tool", "turn_ts", "parse_ok",
-                F.when(~F.col("parse_ok"), F.col("text")).alias("raw_text"),
-                "parsed.priority", "parsed.ts", "parsed.hostname",
-                "parsed.tag", "parsed.pid", "parsed.content",
-                F.col("parsed.error").alias("parse_error"),
-            )
-            .cache()
-        )
+        if self.frame_mode != "none":
+            from .framing import frame_records
+
+            gdf = frame_records(gdf, self.frame_mode, "text")
+        parser = with_parsed_native if self.use_native_parse else with_parsed
+        raw = parser(gdf, "text", cfg.reference_year)
+        extra_meta = ["record_idx"] if "record_idx" in raw.columns else []
+        cached = raw.select(
+            CHUNK_COL,
+            "conv_id",
+            "turn_idx",
+            *extra_meta,
+            "role",
+            "tool",
+            "turn_ts",
+            "parse_ok",
+            F.when(~F.col("parse_ok"), F.col("text")).alias("raw_text"),
+            "parsed.priority",
+            "parsed.ts",
+            "parsed.hostname",
+            "parsed.tag",
+            "parsed.pid",
+            "parsed.content",
+            F.col("parsed.error").alias("parse_error"),
+        ).cache()
         try:
+            # Materialize before the concurrent consumers; when metrics are
+            # on the materialization aggregate doubles as the lineage +
+            # dynamic-tag counter collection AND yields the batch's chunk
+            # roster for the per-sink observation expressions (batch mode
+            # knows its chunk group upfront; a micro-batch discovers it).
+            with m.timing("parse_latency", sid):
+                if self.collect_metrics:
+                    chunks = self._record_scan_stats(cached, sid)
+                else:
+                    cached.count()
+                    chunks = []
             errors = cached.filter(~F.col("parse_ok")).select(
                 F.col(CHUNK_COL),
                 F.col("raw_text").alias("data"),
@@ -100,29 +158,61 @@ class StreamingPipeline:
             )
             routed, _ = route(envelope, self._routes, job_id=cfg.job_id)
             alert_events: dict[str, list] = {a.name: [] for a in cfg.alerts}
-            for t in cfg.types.values():
+            static_sink = {
+                t.sink_name: t.name != "*" for t in cfg.types.values()
+            }
+
+            def write_sink(t: TypeConfig):
                 sub = routed.filter(F.col("sink") == t.sink_name)
+                obs = None
+                if self.collect_metrics and static_sink[t.sink_name] and chunks:
+                    obs, sub = self._observe_sink_counters(sub, t, chunks)
                 transformed, _failed = apply_transformer(sub, t)
                 enriched = apply_mutators(transformed, t.mutators, self.lookups)
                 final = enriched.drop(
-                    "prefix", "mapping_type", "date_format", "transformer", "sink"
+                    "prefix", "mapping_type", "date_format", "transformer",
+                    "sink",
                 )
                 final = enforce_mapping(final, cfg.mappings.get(t.mapping_type))
                 out = salted_write_layout(
                     final, cfg.output_partitions, cfg.salt_buckets
                 )
-                self.sinks[t.sink_name].commit(
-                    out, snapshot_id=f"batch-{batch_id:08d}"
-                )
+                with m.timing(f"write_latency.{t.sink_name}", sid):
+                    man = self.sinks[t.sink_name].commit(
+                        out,
+                        snapshot_id=sid,
+                        footer_lineage=self.collect_metrics,
+                    )
+                return t, enriched, man, obs, sub
+
+            types = list(cfg.types.values())
+            if self.parallel_sink_writes and len(types) > 1:
+                with ThreadPoolExecutor(max_workers=min(4, len(types))) as ex:
+                    results = list(ex.map(write_sink, types))
+            else:
+                results = [write_sink(t) for t in types]
+
+            for t, enriched, man, obs, sub in results:
+                if self.collect_metrics:
+                    n = man.get("lineage", {}).get("n_rows", 0)
+                    if n:
+                        m.count("msgs.inserted", sid, n, tag=t.sink_name)
+                    if obs is not None:
+                        self._record_observed_counters(obs, t, chunks, sub)
                 for a in cfg.alerts:
                     ev = matched_events(enriched, a, t.name)
                     if ev is not None:
                         alert_events[a.name].append(ev)
-            self.errors_table.commit(
+            err_man = self.errors_table.commit(
                 errors.coalesce(2),
-                snapshot_id=f"batch-{batch_id:08d}",
+                snapshot_id=sid,
                 partition_cols=[],
+                footer_lineage=self.collect_metrics,
             )
+            if self.collect_metrics:
+                n = err_man.get("lineage", {}).get("n_rows", 0)
+                if n:
+                    m.count("parse_errors", sid, n)
             # alert rollup + rendered actions per micro-batch, same idempotent
             # snapshot id — re-delivered batches overwrite, not duplicate.
             # (Windows straddling a batch boundary roll up per batch — the
@@ -132,13 +222,13 @@ class StreamingPipeline:
             if rolled is not None:
                 rolled = rolled.coalesce(2).cache()
                 self.alerts_table.commit(
-                    rolled, snapshot_id=f"batch-{batch_id:08d}",
+                    rolled, snapshot_id=sid,
                     partition_cols=[],
                 )
                 acts = render_actions(rolled, cfg.alerts, cfg.actions)
                 if acts is not None:
                     self.actions_table.commit(
-                        acts, snapshot_id=f"batch-{batch_id:08d}",
+                        acts, snapshot_id=sid,
                         partition_cols=[],
                     )
                 rolled.unpersist()
@@ -164,6 +254,8 @@ class StreamingPipeline:
             .start()
         )
         q.awaitTermination()
+        if self.collect_metrics:
+            self._write_metrics()
         return q
 
 

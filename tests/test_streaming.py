@@ -59,6 +59,98 @@ def test_streaming_matches_batch_counts(spark, fixtures_dir, transcripts, stream
         assert (st.count() if st else 0) == (b.count() if b else 0), t.sink_name
 
 
+def test_streaming_metrics_match_batch(
+    spark, fixtures_dir, transcripts, stream_input, tmp_path
+):
+    """Batch/streaming metrics parity: the same counter set (received /
+    processed / failed / inserted / parse_errors, per tag) accumulates to
+    the same totals whether the corpus arrives as one batch group or as
+    several micro-batches — the r4 parity criterion. Attribution
+    granularity differs (streaming labels commit-derived counters by
+    micro-batch id), so totals are compared per (metric, tag)."""
+    cfg = default_config()
+    lookups = load_lookups(spark, fixtures_dir)
+    batch = Pipeline(
+        spark, cfg, out_dir=str(tmp_path / "b"), lookups=lookups,
+        collect_metrics=True,
+    )
+    batch.run(transcripts)
+    s = StreamingPipeline(
+        spark, cfg, out_dir=str(tmp_path / "s"), lookups=lookups,
+        collect_metrics=True,
+    )
+    # several micro-batches, so cross-batch accumulation is exercised
+    s.run_available_now(stream_input, max_files_per_trigger=2)
+
+    def totals(m):
+        out = {}
+        for r in m.rows:
+            if r["metric"].startswith("msgs.") or r["metric"] == "parse_errors":
+                key = (r["metric"], r["tag"])
+                out[key] = out.get(key, 0) + r["value"]
+        return out
+
+    assert totals(s.metrics) == totals(batch.metrics)
+    # lineage rows exist and account for every routed row
+    lin = sum(
+        r["value"]
+        for r in s.metrics.rows
+        if r["metric"] == "lineage.routed.partition_rows"
+    )
+    assert lin == sum(
+        v for (mname, _), v in totals(batch.metrics).items()
+        if mname == "msgs.received"
+    )
+    # the drain persisted the accumulated metrics table
+    assert os.path.exists(os.path.join(str(tmp_path / "s"), "metrics.parquet"))
+
+
+def test_streaming_framing_and_native_parse(spark, tmp_path):
+    """The batch pipeline's frame_mode / use_native_parse knobs work in
+    the streaming foreachBatch body too: a framed blob explodes into
+    per-record rows with record_idx, parsed JVM-side."""
+    import pandas as pd
+
+    line1 = "<13>Mar 14 04:00:00 h1 logs: first record"
+    line2 = "<14>Mar 14 04:00:01 h1 logs: second record"
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pd.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": [f"{line1}\n{line2}\n"],
+            "tool": ["none"],
+            "ts": pd.to_datetime(["2017-03-14 04:00:00"]).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    src = str(tmp_path / "framed_in")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    s = StreamingPipeline(
+        spark,
+        default_config(),
+        out_dir=str(tmp_path / "framed_out"),
+        frame_mode="newline",
+        use_native_parse=True,
+        collect_metrics=True,
+    )
+    s.run_available_now(src)
+    out = s.sinks["sink_logs"].read(spark)
+    rows = sorted(
+        out.select("record_idx", "content").collect(),
+        key=lambda r: r["record_idx"],
+    )
+    assert [r["content"] for r in rows] == ["first record", "second record"]
+    got = {
+        (r["metric"], r["tag"]): r["value"]
+        for r in s.metrics.rows
+        if r["metric"].startswith("msgs.")
+    }
+    assert got[("msgs.received", "logs")] == 2
+    assert got[("msgs.inserted", "sink_logs")] == 2
+
+
 def test_streaming_alert_window(spark, stream_input, tmp_path):
     stream = (
         spark.readStream.schema(
