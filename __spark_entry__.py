@@ -648,6 +648,41 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_curate_corpus(spark, sf_dir):
+    """END-TO-END curation composite (D22): quality gate → benchmark
+    decontamination → exact dedup → MinHash-LSH near-dup → per-source cap,
+    with total accounting — every corpus doc comes back exactly once as
+    (doc_id, status), status ∈ {low_quality, contaminated, exact_dup,
+    near_dup, source_cap, retained}. Stage precedence (a doc removed by an
+    earlier stage never reaches a later one) is part of the contract and
+    the oracle replays the same CTE chain. The near-dup stage is injected
+    as the md5-LSH pair family (``q_dedup_minhash_pairs``) so DuckDB can
+    replay it — the production xxhash64 family is pytest-pinned instead."""
+    from punt_spark.dataops.curation import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    out = curate_corpus(
+        corpus,
+        min_quality=0.5,
+        benchmark=bench,
+        decontam_shingle_n=5,
+        max_per_source=20,
+        near_dup_pairs=pairs,
+    )
+    removed = out["removed"].select(
+        F.col("doc_id"), F.col("reason").alias("status")
+    )
+    retained = out["retained"].select(
+        F.col("doc_id"), F.lit("retained").alias("status")
+    )
+    return removed.unionByName(retained)
+
+
 def q_dup_clusters(spark, sf_dir):
     """Transitive duplicate clusters: MinHash-band candidate pairs as the
     edge set → connected components (iterative min-label propagation,
@@ -802,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "render_conversations": q_render_conversations,
         "bigram_logprob": q_bigram_logprob,
         "vocab_top_terms": q_vocab_top_terms,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -1107,6 +1143,94 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 20 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "curate_corpus": f"""
+            WITH {_SHINGLE_CTE.removeprefix("WITH ")},
+            sig AS (SELECT doc_id,
+                        min(md5('0' || shingle)) AS h0,
+                        min(md5('1' || shingle)) AS h1,
+                        min(md5('2' || shingle)) AS h2,
+                        min(md5('3' || shingle)) AS h3
+                    FROM sh GROUP BY doc_id),
+            bands AS (SELECT doc_id, md5(h0 || h1) AS b FROM sig
+                      UNION ALL
+                      SELECT doc_id, md5(h2 || h3) AS b FROM sig),
+            cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM bands a JOIN bands b
+                       ON a.b = b.b AND a.doc_id < b.doc_id),
+            qs AS (SELECT doc_id, text, source,
+                          length(text) AS nc,
+                          len(string_split_regex(trim(text), '\\s+')) AS nt,
+                          len(regexp_extract_all(text, '[.,!?;:]')) AS np,
+                          len(regexp_extract_all(lower(text),
+                              '\\b(the|and|of|to|is|a|in|that|it|for)\\b'))
+                              AS ns,
+                          len(regexp_extract_all(text, '[A-Z]')) AS nu
+                   FROM documents WHERE doc_id % 20 <> 0),
+            q AS (SELECT doc_id, text, source,
+                     round(
+                       (CASE WHEN nc >= 20 AND nc <= 100000
+                             THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN nt > 0
+                              AND nc / CAST(nt AS DOUBLE) >= 2.0
+                              AND nc / CAST(nt AS DOUBLE) <= 12.0
+                             THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN nc = 0 OR np / CAST(nc AS DOUBLE) <= 0.2
+                             THEN 0.2 ELSE 0.0 END)
+                     + (CASE WHEN nc = 0 OR nu / CAST(nc AS DOUBLE) <= 0.3
+                             THEN 0.1 ELSE 0.0 END)
+                     + least((CASE WHEN nt > 0
+                                   THEN ns / CAST(nt AS DOUBLE)
+                                   ELSE 0.0 END) * 2.0, 0.2)
+                     , 4) AS score
+                  FROM qs),
+            lowq AS (SELECT doc_id FROM q WHERE score < 0.5),
+            s1 AS (SELECT doc_id, text, source FROM q WHERE score >= 0.5),
+            w5 AS (SELECT doc_id,
+                          string_split_regex(lower(trim(text)), '\\s+') AS ws
+                   FROM documents),
+            sh5 AS (SELECT doc_id,
+                           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                           || ws[i+3] || ' ' || ws[i+4] AS shingle5
+                    FROM w5, UNNEST(range(1, greatest(len(ws) - 3, 1)))
+                         AS t(i)
+                    WHERE len(ws) >= 5),
+            bench5 AS (SELECT DISTINCT shingle5 FROM sh5
+                       WHERE doc_id % 20 = 0),
+            cont AS (SELECT DISTINCT s.doc_id
+                     FROM sh5 s JOIN bench5 b ON s.shingle5 = b.shingle5
+                     WHERE s.doc_id % 20 <> 0),
+            cont_removed AS (SELECT doc_id FROM s1
+                             WHERE doc_id IN (SELECT doc_id FROM cont)),
+            s2 AS (SELECT * FROM s1
+                   WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+            keepers AS (SELECT min(doc_id) AS doc_id FROM s2
+                        GROUP BY md5(text)),
+            exact_removed AS (SELECT doc_id FROM s2
+                              WHERE doc_id NOT IN
+                                    (SELECT doc_id FROM keepers)),
+            s3 AS (SELECT * FROM s2
+                   WHERE doc_id IN (SELECT doc_id FROM keepers)),
+            nd AS (SELECT DISTINCT c.id_b AS doc_id FROM cand c
+                   WHERE c.id_a IN (SELECT doc_id FROM s3)
+                     AND c.id_b IN (SELECT doc_id FROM s3)),
+            s4 AS (SELECT * FROM s3
+                   WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+            ranked AS (SELECT doc_id, source,
+                              row_number() OVER (
+                                  PARTITION BY source
+                                  ORDER BY md5('cap' ||
+                                               CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rn
+                       FROM s4),
+            cap_removed AS (SELECT doc_id FROM ranked WHERE rn > 20),
+            s5 AS (SELECT doc_id FROM ranked WHERE rn <= 20)
+            SELECT doc_id, 'low_quality' AS status FROM lowq
+            UNION ALL SELECT doc_id, 'contaminated' FROM cont_removed
+            UNION ALL SELECT doc_id, 'exact_dup' FROM exact_removed
+            UNION ALL SELECT doc_id, 'near_dup' FROM nd
+            UNION ALL SELECT doc_id, 'source_cap' FROM cap_removed
+            UNION ALL SELECT doc_id, 'retained' FROM s5
         """,
         "source_cap": """
             SELECT doc_id, source FROM (

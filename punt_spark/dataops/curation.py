@@ -36,6 +36,7 @@ def curate_corpus(
     redact: bool = False,
     max_per_source: int | None = None,
     source_col: str = "source",
+    near_dup_pairs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Returns {"retained", "removed", "stats"}.
 
@@ -50,6 +51,14 @@ def curate_corpus(
     PII placeholders as the final pass (redaction is last so dedup hashes
     see the original bytes; in place so no consumer of the retained frame
     can export un-redacted text).
+
+    ``near_dup_pairs`` injects a pre-computed candidate-pair frame
+    (id_a, id_b) in place of the built-in MinHash stage — the near-dup
+    strategy is pluggable (SimHash pairs, embedding near-dups, or an
+    oracle-replayable hash family). Pairs whose endpoints did not survive
+    the earlier stages are ignored (both ends are semi-joined to the
+    exact-dedup survivors, exactly what the built-in stage guarantees by
+    construction); the higher id of each surviving pair is dropped.
     """
     scored = with_quality(docs, text_col)
     if max_repetition is not None:
@@ -107,14 +116,21 @@ def curate_corpus(
     # near-dup: drop the higher id of each verified pair (transitive chains
     # collapse toward the smallest id over iterations; one pass is the
     # standard large-scale approximation)
-    pairs = minhash_dedup(
-        exact_kept,
-        text_col,
-        id_col,
-        num_hashes=num_hashes,
-        bands=bands,
-        threshold=near_dup_threshold,
-    )
+    if near_dup_pairs is not None:
+        surv_a = exact_kept.select(F.col(id_col).alias("id_a"))
+        surv_b = exact_kept.select(F.col(id_col).alias("id_b"))
+        pairs = near_dup_pairs.join(surv_a, "id_a", "left_semi").join(
+            surv_b, "id_b", "left_semi"
+        )
+    else:
+        pairs = minhash_dedup(
+            exact_kept,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=near_dup_threshold,
+        )
     near_dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
     retained = exact_kept.join(near_dup_ids, id_col, "left_anti")
     removed_frames.append(
