@@ -9,10 +9,14 @@ batching, ``mapInPandas`` UDF signatures, Arrow batch shapes. Codecs:
   payload that isn't valid WAV/BMP records ``decode_ok=False`` with the
   error (per-row error columns, same totality model as the parse stage —
   one bad blob never kills a 100 TB job).
-* Video decode is still honestly stubbed: frame extraction needs ffmpeg,
-  which is not in this container. ``sample_frames(decode_mode="real")``
-  raises at the exact plug-in site; video rows in ``extract_features``
-  record a decode error instead.
+* Video: frame EXTRACTION is real for MJPEG-in-AVI — a stdlib RIFF
+  walker (below) parses the container and emits each ``00dc``/``00db``
+  movi chunk as an opaque JPEG frame, no ffmpeg needed; pixel DECODE of
+  those JPEG frames still needs an image codec this container lacks, so
+  the video feature in ``extract_features`` is compressed-domain (a byte
+  histogram over the extracted frame stream — real structure, honestly
+  not pixels) and non-AVI/non-MJPEG payloads take the per-row error
+  path.
 * ``decode_mode="fake"`` produces a deterministic hash-derived feature
   vector with the production schema — the schema-true path for opaque
   payloads.
@@ -48,7 +52,10 @@ THUMB_SCHEMA = (
     "media_id long, thumb binary, thumb_w int, thumb_h int, decode_ok boolean"
 )
 
-FRAME_SCHEMA = "media_id long, frame_idx int, frame_ts_ms int, frame binary"
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms int, frame binary, "
+    "decode_ok boolean, decode_error string"
+)
 
 
 def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
@@ -157,6 +164,75 @@ def bmp_encode(arr: np.ndarray) -> bytes:
     return file_header + info_header + img
 
 
+def avi_encode(frames: list[bytes], us_per_frame: int = 40_000) -> bytes:
+    """MJPEG frame chunks → minimal RIFF/AVI bytes (fixtures + tests).
+
+    Layout: RIFF('AVI ' LIST('hdrl' avih) LIST('movi' 00dc…)). Only the
+    fields the walker reads are populated (dwMicroSecPerFrame,
+    dwTotalFrames); everything else in the 56-byte main header is zero —
+    enough for any RIFF-compliant reader to skip."""
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) & 1 else b"")
+
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_walk(payload: bytes) -> tuple[int, list[bytes]]:
+    """Minimal RIFF/AVI container walk → (µs per frame, MJPEG frame chunks).
+
+    Recursively walks LIST chunks; ``00dc``/``00db`` movi entries are the
+    frames (opaque JPEG bytes in an MJPEG AVI — passed through un-decoded),
+    ``avih`` supplies the frame period. Raises ValueError on anything that
+    is not a RIFF/AVI or is structurally truncated — the per-row error
+    path of the callers."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (missing RIFF/AVI magic)")
+    us_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int):
+        nonlocal us_per_frame
+        pos = start
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            data_start = pos + 8
+            data_end = data_start + size
+            if data_end > end:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(data_start + 4, data_end)
+            elif fourcc == b"avih" and size >= 4:
+                us_per_frame = struct.unpack_from("<I", payload, data_start)[0]
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(payload[data_start:data_end])
+            pos = data_end + (size & 1)
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    return us_per_frame, frames
+
+
+def avi_sample_frames(
+    payload: bytes, every_ms: int, max_frames: int
+) -> list[tuple[int, int, bytes]]:
+    """AVI bytes → up to ``max_frames`` sampled (src_idx, ts_ms, jpeg)
+    tuples, one roughly every ``every_ms`` of video time."""
+    us_per_frame, frames = avi_walk(payload)
+    period_ms = (us_per_frame / 1000.0) if us_per_frame else 40.0
+    step = max(1, round(every_ms / period_ms))
+    return [
+        (i, int(round(i * period_ms)), frames[i])
+        for i in range(0, len(frames), step)
+    ][:max_frames]
+
+
 def _audio_feature(samples: np.ndarray, dim: int) -> np.ndarray:
     """Real audio feature: RMS energy over ``dim`` equal time segments,
     L2-normalized — a coarse loudness envelope."""
@@ -181,15 +257,27 @@ def _image_feature(arr: np.ndarray, dim: int) -> np.ndarray:
     return v / norm if norm > 0 else v
 
 
+def _video_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Real COMPRESSED-DOMAIN video feature: ``dim``-bin byte-value
+    histogram over the MJPEG frame stream extracted by the RIFF walker,
+    L2-normalized. Honest scope: this fingerprints the actual video
+    structure (frame chunks, their bytes) without pixel decode — JPEG
+    pixel decode would need an image codec this container lacks."""
+    _us, frames = avi_walk(payload)
+    arr = np.frombuffer(b"".join(frames), dtype=np.uint8)
+    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    v = hist.astype(np.float32)
+    norm = np.linalg.norm(v)
+    return v / norm if norm > 0 else v
+
+
 def _real_feature(kind: str, payload: bytes, dim: int) -> np.ndarray:
     if kind == "audio":
         samples, _rate = wav_decode(payload)
         return _audio_feature(samples, dim)
     if kind == "image":
         return _image_feature(bmp_decode(payload), dim)
-    raise NotImplementedError(
-        "video feature extraction needs ffmpeg (not in this container)"
-    )
+    return _video_feature(payload, dim)
 
 
 def _nn_resize(arr: np.ndarray, max_side: int) -> np.ndarray:
@@ -204,8 +292,10 @@ def _nn_resize(arr: np.ndarray, max_side: int) -> np.ndarray:
 
 def synth_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
     """Media fixture with DECODE-ABLE payloads: real 16-bit PCM WAVs (sine
-    tones) and real 24-bit BMPs (gradient patterns), plus opaque video rows
-    to exercise the no-codec error path. Deterministic in ``seed``."""
+    tones), real 24-bit BMPs (gradient patterns), and real MJPEG-in-AVI
+    videos (RIFF container with pseudo-JPEG frame chunks — SOI/EOI framed
+    random bytes, since the frames stay opaque downstream). Deterministic
+    in ``seed``."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -232,10 +322,16 @@ def synth_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
             payload = bmp_encode(arr)
             dur_ms = 0
         else:
-            payload = rng.bytes(64)
+            n_frames = int(rng.integers(4, 16))
+            us_per_frame = 100_000  # 10 fps
+            frames = [
+                b"\xff\xd8" + rng.bytes(int(rng.integers(24, 96))) + b"\xff\xd9"
+                for _ in range(n_frames)
+            ]
+            payload = avi_encode(frames, us_per_frame)
             w = h = 0
-            dur_ms = int(rng.integers(1000, 5000))
-        mime = {"audio": "audio/wav", "image": "image/bmp", "video": "video/mp4"}[kind]
+            dur_ms = n_frames * us_per_frame // 1000
+        mime = {"audio": "audio/wav", "image": "image/bmp", "video": "video/x-msvideo"}[kind]
         rows.append((i, kind, bytearray(payload), mime, w, h, dur_ms))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -339,22 +435,50 @@ def resize_images(
 def sample_frames(
     df: DataFrame, every_ms: int = 1000, max_frames: int = 8, decode_mode: str = "fake"
 ) -> DataFrame:
-    """video rows → sampled frames (one output row per frame)."""
+    """video rows → sampled frames (one output row per frame).
+
+    ``decode_mode="real"``: the stdlib RIFF walker extracts MJPEG chunks
+    from AVI payloads — frames are the actual on-disk JPEG bytes,
+    ``frame_ts_ms`` derives from the container's µs-per-frame header. A
+    payload that is not a RIFF/AVI (or holds no frame chunks) yields ONE
+    row with ``decode_ok=False`` and the error — per-row totality, never
+    a job abort. Fake mode keeps the deterministic schema-true
+    placeholder."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "frame": [], "decode_ok": [], "decode_error": [],
+            }
+
+            def emit(mid, idx, ts, frame, ok, err):
+                out["media_id"].append(mid)
+                out["frame_idx"].append(idx)
+                out["frame_ts_ms"].append(ts)
+                out["frame"].append(frame)
+                out["decode_ok"].append(ok)
+                out["decode_error"].append(err)
+
             for _, row in pdf.iterrows():
                 if decode_mode == "real":
-                    raise NotImplementedError(
-                        "real frame extraction: plug ffmpeg here"
-                    )
+                    try:
+                        sampled = avi_sample_frames(
+                            bytes(row["payload"]), every_ms, max_frames
+                        )
+                    except Exception as e:
+                        emit(row["media_id"], 0, 0, None, False,
+                             f"{type(e).__name__}: {e}")
+                        continue
+                    for i, (src_idx, ts_ms, jpeg) in enumerate(sampled):
+                        emit(row["media_id"], src_idx, ts_ms, jpeg, True, None)
+                    continue
                 n = min(max_frames, max(1, int(row["duration_ms"]) // every_ms))
                 for i in range(n):
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(i)
-                    out["frame_ts_ms"].append(i * every_ms)
-                    out["frame"].append(bytes(row["payload"])[:32])
+                    emit(
+                        row["media_id"], i, i * every_ms,
+                        bytes(row["payload"])[:32], True, None,
+                    )
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)

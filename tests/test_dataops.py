@@ -568,14 +568,46 @@ def test_multimodal_real_decode(spark):
     media = multimodal.synth_real_media_df(spark, n=24)
     feats = multimodal.extract_features(media, dim=16, decode_mode="real").toPandas()
     by_kind = feats.groupby("kind")["decode_ok"].all()
-    assert by_kind["audio"] and by_kind["image"]
-    # video has no codec in this container — per-row error, not a job abort
-    vids = feats[feats["kind"] == "video"]
-    assert (~vids["decode_ok"]).all()
-    assert vids["decode_error"].str.contains("ffmpeg").all()
+    # all three kinds decode: WAV + BMP pixel-domain, AVI compressed-domain
+    assert by_kind["audio"] and by_kind["image"] and by_kind["video"]
     ok = feats[feats["decode_ok"]]
     assert all(len(v) == 16 for v in ok["feat"])
     assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in ok["feat"])
+
+
+def test_avi_walker_roundtrip():
+    rng = np.random.default_rng(11)
+    frames = [b"\xff\xd8" + rng.bytes(k) + b"\xff\xd9" for k in (10, 33, 7, 20)]
+    us, got = multimodal.avi_walk(multimodal.avi_encode(frames, 50_000))
+    assert us == 50_000
+    assert got == frames  # odd-sized chunks hit the RIFF pad byte
+    with pytest.raises(ValueError, match="RIFF/AVI magic"):
+        multimodal.avi_walk(b"garbage bytes here")
+
+
+def test_multimodal_real_frame_sampling(spark):
+    """sample_frames(decode_mode='real'): the planted MJPEG-AVI fixture
+    returns the planted frame count and container-derived timestamps."""
+    media = multimodal.synth_real_media_df(spark, n=24)
+    frames = multimodal.sample_frames(
+        media, every_ms=200, max_frames=4, decode_mode="real"
+    ).toPandas()
+    assert frames["decode_ok"].all()
+    vids = media.filter(F.col("kind") == "video").toPandas()
+    # fixture is 10 fps (100 ms/frame) → every_ms=200 samples every 2nd
+    # frame; n_frames from duration; capped at 4
+    for _, v in vids.iterrows():
+        n_frames = v["duration_ms"] // 100
+        expect = min(4, (n_frames + 1) // 2)
+        got = frames[frames["media_id"] == v["media_id"]]
+        assert len(got) == expect, v["media_id"]
+        assert got["frame_idx"].tolist() == [2 * i for i in range(expect)]
+        assert got["frame_ts_ms"].tolist() == [200 * i for i in range(expect)]
+        # frames are the actual on-disk JPEG chunk bytes
+        assert all(
+            bytes(f)[:2] == b"\xff\xd8" and bytes(f)[-2:] == b"\xff\xd9"
+            for f in got["frame"]
+        )
 
 
 def test_multimodal_real_resize(spark):
@@ -596,9 +628,11 @@ def test_multimodal_real_mode_opaque_payloads(spark):
     feats = multimodal.extract_features(media, decode_mode="real").toPandas()
     assert (~feats["decode_ok"]).all()
     assert feats["decode_error"].notna().all()
-    # video frame extraction stays honestly stubbed (needs ffmpeg)
-    with pytest.raises(Exception, match="NotImplementedError|ffmpeg"):
-        multimodal.sample_frames(media, decode_mode="real").collect()
+    # non-AVI payloads take the per-row error path in real frame sampling
+    frames = multimodal.sample_frames(media, decode_mode="real").toPandas()
+    assert len(frames) == media.filter(F.col("kind") == "video").count()
+    assert (~frames["decode_ok"]).all()
+    assert frames["decode_error"].str.contains("RIFF/AVI").all()
 
 
 # --- corpus curation (composed pipeline) -------------------------------------------------
