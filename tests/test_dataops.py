@@ -876,6 +876,53 @@ def test_pack_sequences(spark):
         pack_sequences(tdf, "doc_id", budget=10, tokens_col="n_tok").collect()
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    budget=st.integers(1, 20),
+    shards=st.integers(1, 5),
+    toks=st.lists(st.integers(0, 50), min_size=1, max_size=25),
+)
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_straddle_property(spark, budget, shards, toks):
+    """Property-pin the cross-shard straddle invariant over arbitrary
+    (budget, shards, token counts) — including docs LARGER than the
+    budget: within every shard, sorted by the packing order, each doc
+    starts exactly where the previous ended; seq_id/seq_offset are pure
+    functions of that stream position; a doc with n_tokens > budget
+    starts in sequence floor(start/budget) and straddles through
+    floor((start+n-1)/budget) — by design, padding-free packing never
+    splits or drops it; and the total stream length is conserved."""
+    import hashlib
+
+    from punt_spark.dataops.packing import pack_sequences
+
+    rows = [(i, "ignored", t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_tok long")
+    out = pack_sequences(
+        df, "doc_id", budget=budget, tokens_col="n_tok", shards=shards
+    ).toPandas()
+    assert len(out) == len(toks)
+    assert out["n_tokens"].sum() == sum(toks)
+
+    def order_key(i):
+        return (hashlib.md5(f"pack{i}".encode()).hexdigest(), i)
+
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values(by="doc_id", key=lambda s: s.map(order_key))
+        pos = 0
+        for r in grp.itertuples():
+            assert r.seq_id == f"{shard}/{pos // budget}"
+            assert r.seq_offset == pos % budget
+            if r.n_tokens > budget:
+                # straddling doc: occupies every sequence from its start
+                # through floor((start+n-1)/budget), all in this shard
+                assert (pos + r.n_tokens - 1) // budget > pos // budget
+            pos += r.n_tokens
+
+
 def test_render_conversations(spark):
     from punt_spark.dataops.transcripts import render_conversations
 
