@@ -648,6 +648,40 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the 4× storage/shuffle
+    scale path for the embedding table): per-vector scale = max|x|,
+    q_i = floor(x_i·127/scale + 0.5) — explicit half-up so DuckDB replays
+    the mapping bit-exactly. Gated on per-vector scalar digests of the
+    integer codes (sum/min/max) plus the rounded scale."""
+    from punt_spark.dataops.similarity import quantize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, out="qv")
+    return q.select(
+        "vec_id",
+        F.round("qv_scale", 6).alias("scale_r"),
+        F.expr("aggregate(qv, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE training's first merge round: adjacent-character pair counts
+    over the corpus word-frequency table (counts weighted by word
+    frequency, overlapping pairs counted — the classic convention), top
+    50 by (count, pair). The iterative trainer (``dataops.bpe.train_bpe``)
+    consumes exactly this relation per round and is pytest-pinned against
+    a pure-Python reference; the argmax of THIS result is its first
+    merge. orderBy+limit plans TakeOrderedAndProject."""
+    from punt_spark.dataops.bpe import pair_counts, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    state = word_counts(d).select("cnt", F.split("w", "").alias("syms"))
+    return pair_counts(state).orderBy(F.desc("n"), "a", "b").limit(50)
+
+
 def q_curate_corpus(spark, sf_dir):
     """END-TO-END curation composite (D22): quality gate → benchmark
     decontamination → exact dedup → MinHash-LSH near-dup → per-source cap,
@@ -838,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "vocab_top_terms": q_vocab_top_terms,
         "curate_corpus": q_curate_corpus,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "embedding_quantize": q_embedding_quantize,
     }
 
 
@@ -1143,6 +1179,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 20 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+                SELECT vec_id,
+                       list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> abs(x))) AS scale
+                FROM embeddings
+            ), q AS (
+                SELECT e.vec_id, s.scale,
+                       CASE WHEN s.scale = 0 THEN
+                            list_transform(CAST(e.embedding AS DOUBLE[]),
+                                           x -> CAST(0 AS BIGINT))
+                       ELSE
+                            list_transform(CAST(e.embedding AS DOUBLE[]),
+                                x -> CAST(floor(x * 127 / s.scale + 0.5)
+                                          AS BIGINT))
+                       END AS qv
+                FROM embeddings e JOIN s USING (vec_id)
+            )
+            SELECT vec_id, round(scale, 6) AS scale_r,
+                   CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                   CAST(list_min(qv) AS BIGINT) AS q_min,
+                   CAST(list_max(qv) AS BIGINT) AS q_max
+            FROM q
+        """,
+        "bpe_pair_counts": """
+            WITH wc AS (
+                SELECT w, COUNT(*) AS cnt FROM (
+                    SELECT unnest(string_split_regex(lower(trim(text)),
+                                  '\\s+')) AS w
+                    FROM documents)
+                WHERE w != '' GROUP BY w
+            )
+            SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+                   CAST(SUM(cnt) AS BIGINT) AS n
+            FROM wc, UNNEST(range(1, length(w))) AS t(i)
+            WHERE length(w) >= 2
+            GROUP BY 1, 2
+            ORDER BY n DESC, a, b LIMIT 50
         """,
         "curate_corpus": f"""
             WITH {_SHINGLE_CTE.removeprefix("WITH ")},

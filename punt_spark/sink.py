@@ -317,12 +317,22 @@ class SnapshotTable:
             }
         return out
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, as_of: float | None = None
+    ) -> DataFrame | None:
         """Read exactly the manifested files (partition columns recovered
-        from directory layout; bookkeeping cols dropped)."""
+        from directory layout; bookkeeping cols dropped).
+
+        ``as_of`` (unix seconds) reads the table AS OF that commit time:
+        snapshots published later are invisible — Iceberg time travel in
+        miniature, O(metadata). Honest caveat: idempotent re-commits
+        REPLACE a snapshot's manifest (and its committed_at) in place, so
+        a re-committed snapshot is visible only at its LATEST commit
+        time; per-version history would need Iceberg's metadata log."""
         files = [
             os.path.join(self.root, f)
             for m in self.snapshots().values()
+            if as_of is None or m.get("committed_at", 0) <= as_of
             for f in m["files"]
         ]
         files = [f for f in files if os.path.exists(f)]

@@ -423,6 +423,47 @@ def test_lsh_topk_recall(vectors):
         assert qid in set(gpdf[gpdf.query_id == qid]["vec_id"])
 
 
+def test_quantize_embeddings(vectors):
+    df, pdf = vectors
+    q = similarity.quantize_embeddings(df, out="qvec").toPandas()
+    mat = {r.vec_id: np.array(r.qvec) for r in q.itertuples()}
+    scales = {r.vec_id: r.qvec_scale for r in q.itertuples()}
+    for _, row in pdf.iterrows():
+        x = np.array(row["embedding"], dtype=np.float64)
+        qv, s = mat[row["vec_id"]], scales[row["vec_id"]]
+        assert s == np.abs(x).max()
+        assert np.abs(qv).max() <= 127
+        # reconstruction error bound: |x - q·s/127| ≤ s/(2·127)
+        assert np.abs(x - qv * s / 127).max() <= s / 254 + 1e-12
+    # zero vector → zeros with scale 0, no division blow-up
+    z = similarity.quantize_embeddings(
+        df.sparkSession.createDataFrame(
+            [(0, [0.0] * 4)], "vec_id long, embedding array<double>"
+        )
+    ).collect()[0]
+    assert z["qvec"] == [0, 0, 0, 0] and z["qvec_scale"] == 0.0
+    with pytest.raises(ValueError, match="bits"):
+        similarity.quantize_embeddings(df, bits=1)
+
+
+def test_quantized_topk_recall(vectors):
+    """int8 cosine ranking stays close to exact: recall@5 ≥ 0.9 over the
+    clustered fixture (the 4× storage/shuffle saving costs a bounded
+    ranking perturbation)."""
+    df, pdf = vectors
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.quantized_cosine_topk(df, queries, k=5).toPandas()
+    want = _np_topk(pdf, range(5), 5)
+    hits = total = 0
+    for qid in range(5):
+        g = set(got[got.query_id == qid]["vec_id"])
+        hits += len(g & set(want[qid]))
+        total += 5
+    assert hits / total >= 0.9
+
+
 def test_ivf_topk_recall(vectors):
     df, pdf = vectors
     queries = df.filter(F.col("vec_id") < 5).select(
@@ -1016,6 +1057,70 @@ def test_bigram_logprob(spark):
     assert abs(out[0] - (2 * p_ab + p_ba) / 3) < 1e-12
     assert abs(out[1] - p_ab) < 1e-12
     assert out[2] == 0.0 and out[3] == 0.0  # <2 tokens
+
+
+def _ref_bpe(word_cnt: dict, num_merges: int, min_pair: int = 2):
+    """Pure-Python reference BPE trainer (classic algorithm, row-at-a-time)
+    — the oracle train_bpe is pinned against."""
+    state = {w: list(w) for w in word_cnt}
+    merges = []
+    for _ in range(num_merges):
+        pc: dict = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + word_cnt[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair:
+            break
+        merges.append((a, b))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges, state
+
+
+def test_train_bpe_matches_reference(spark):
+    from punt_spark.dataops.bpe import apply_bpe, train_bpe
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest",
+        "newest newest widest widest widest",
+        "low lower newest widest",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc: dict = {}
+    for t in texts:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want, ref_state = _ref_bpe(wc, num_merges=8)
+    got = train_bpe(df, num_merges=8)
+    assert got == want and len(got) >= 4
+    # encode/train consistency: applying the learned merges in rank order
+    # reproduces each training word's final merge state (the invariant
+    # BPE encoding relies on)
+    enc = {
+        r["text"]: r["bpe_tokens"]
+        for r in apply_bpe(
+            spark.createDataFrame([(w,) for w in wc], "text string"), got
+        ).collect()
+    }
+    for w in wc:
+        assert enc[w] == ref_state[w], w
+    # determinism under repartitioning
+    assert train_bpe(df.repartition(7), num_merges=8) == want
 
 
 def test_token_frequencies(spark):

@@ -328,6 +328,26 @@ def test_partition_spec_is_immutable(spark, tmp_path):
     assert os.path.exists(tbl._spec_path)
 
 
+def test_snapshot_time_travel_read(spark, tmp_path):
+    """read(as_of=t) sees exactly the snapshots committed by t — Iceberg
+    time travel in miniature."""
+    import time as _time
+
+    from punt_spark.sink import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "tt_tbl"))
+    df1 = spark.createDataFrame([("a",)], "conv_id string")
+    df2 = spark.createDataFrame([("b",)], "conv_id string")
+    tbl.commit(df1, "s1", partition_cols=[])
+    t_mid = _time.time()
+    _time.sleep(0.05)
+    tbl.commit(df2, "s2", partition_cols=[])
+    assert tbl.read(spark).count() == 2
+    old = tbl.read(spark, as_of=t_mid)
+    assert [r["conv_id"] for r in old.collect()] == ["a"]
+    assert tbl.read(spark, as_of=0.0) is None  # before any commit
+
+
 def test_partition_spec_failed_first_commit_not_pinned(spark, tmp_path):
     """A first commit that pins the spec but FAILS before publishing any
     snapshot must not wedge the empty table: the next commit with a
