@@ -60,6 +60,9 @@ OP_QUERIES = [
     "idf_score",
     "pack_sequences",
     "render_conversations",
+    "curate_corpus",
+    "bpe_pair_counts",
+    "embedding_quantize",
 ]
 
 
@@ -219,9 +222,19 @@ def time_op_queries(sf_dir: str) -> dict[str, float]:
     for name in OP_QUERIES:
         if name not in qs:
             continue
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        # min of 2: the first execution of a plan shape in a session pays
+        # codegen/JIT that steady-state runs don't (r3 recorded
+        # window_rollup/alert_actions 2× and r4 route_counts 3× off a
+        # single cold sample; warm repeats sit at the stable value)
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     spark.stop()
     time.sleep(1)
     return out

@@ -38,6 +38,20 @@ def main(argv: list[str] | None = None) -> int:
                     "RFC6587 octet_counted servers)")
     ap.add_argument("--no-resume", action="store_true",
                     help="reprocess chunks even if committed")
+    ap.add_argument("--stream", action="store_true",
+                    help="run the Structured Streaming pipeline "
+                    "(Trigger.AvailableNow drain) instead of the batch "
+                    "group-commit path — the daemon shape; the streaming "
+                    "checkpoint under --out replaces chunk-marker resume, "
+                    "so a rerun picks up only files not yet processed")
+    ap.add_argument("--stream-max-files", type=int, default=None,
+                    metavar="N",
+                    help="with --stream: cap files per micro-batch "
+                    "(maxFilesPerTrigger)")
+    ap.add_argument("--dedup-within", default=None, metavar="DURATION",
+                    help='with --stream: ingest-time exact dedup window, '
+                    'e.g. "10 minutes" (dropDuplicatesWithinWatermark on '
+                    "(conv_id, turn_idx))")
     ap.add_argument("--retention", action="store_true",
                     help="run keep-N partition GC after the pipeline")
     ap.add_argument("--tail", metavar="SINK[,SINK...]",
@@ -207,6 +221,31 @@ def main(argv: list[str] | None = None) -> int:
     )
     transcripts = spark.read.parquet(tpath)
     lookups = load_lookups(spark, path) if os.path.isdir(path) else {}
+
+    if args.stream:
+        from .streaming import StreamingPipeline
+
+        s = StreamingPipeline(
+            spark,
+            cfg,
+            out_dir=args.out,
+            lookups=lookups,
+            use_native_parse=args.native_parse,
+            frame_mode=args.frame,
+            collect_metrics=True,
+            dedup_within=args.dedup_within,
+        )
+        s.run_available_now(
+            tpath, max_files_per_trigger=args.stream_max_files
+        )
+        print(
+            json.dumps(
+                {"mode": "stream", "metrics": s.metrics.totals()},
+                indent=1,
+                default=str,
+            )
+        )
+        return 0
 
     pipe = Pipeline(
         spark,

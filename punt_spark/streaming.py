@@ -240,6 +240,14 @@ class StreamingPipeline(MetricsPlumbing):
         reader = (
             self.spark.readStream.schema(TRANSCRIPT_SCHEMA)
         )
+        if os.path.isfile(input_path):
+            # a single parquet FILE (pandas-written fixture): the file
+            # stream source requires a DIRECTORY — stream the parent,
+            # glob-filtered to exactly this file
+            reader = reader.option(
+                "pathGlobFilter", os.path.basename(input_path)
+            )
+            input_path = os.path.dirname(input_path)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(input_path)
