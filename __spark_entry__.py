@@ -648,6 +648,38 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_validate_conversations(spark, sf_dir):
+    """Conversation structural health gate (transcript payload): per
+    user event-stream, count consecutive same-role turns and empty
+    payloads in deterministic (ts, event_id, role, text) order — the
+    pre-render validity check a transcript training pipeline runs before
+    assembly/packing. Index-less mode (event streams carry no turn_idx);
+    the full index checks are pytest-pinned on synthetic transcripts."""
+    from punt_spark.dataops.transcripts import validate_conversations
+
+    e = _t(spark, sf_dir, "events")
+    return validate_conversations(
+        e,
+        conv_col="user_id",
+        idx_col=None,
+        role_col="event_type",
+        text_col="props",
+        order_cols=("ts", "event_id"),
+    )
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Long-document chunking: 32-token windows, 4-token overlap, one row
+    per chunk; a trailing window adding no new tokens is dropped. The
+    standard treatment when model context < document length."""
+    from punt_spark.dataops.textstats import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, max_tokens=32, overlap=4).select(
+        "doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens"
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization (the 4× storage/shuffle
     scale path for the embedding table): per-vector scale = max|x|,
@@ -874,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "bpe_pair_counts": q_bpe_pair_counts,
         "embedding_quantize": q_embedding_quantize,
+        "validate_conversations": q_validate_conversations,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1179,6 +1213,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 20 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "validate_conversations": """
+            WITH o AS (
+                SELECT user_id, event_type, props,
+                       lag(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id, event_type, props)
+                           AS prev_role
+                FROM events
+            )
+            SELECT user_id,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(CASE WHEN prev_role IS NOT NULL
+                                  AND event_type = prev_role
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS alternation_breaks,
+                   CAST(SUM(CASE WHEN props IS NULL
+                                  OR length(trim(props)) = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS empty_turns,
+                   (SUM(CASE WHEN prev_role IS NOT NULL
+                              AND event_type = prev_role
+                             THEN 1 ELSE 0 END) = 0
+                    AND SUM(CASE WHEN props IS NULL
+                                  OR length(trim(props)) = 0
+                                 THEN 1 ELSE 0 END) = 0) AS valid
+            FROM o GROUP BY user_id
+        """,
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != '') AS ws
+                FROM documents
+            ), starts AS (
+                SELECT doc_id, ws, i,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                           - 1 AS chunk_idx
+                FROM t, UNNEST(range(0, greatest(len(ws), 0), 28)) AS u(i)
+                WHERE len(ws) > 0 AND (i = 0 OR i + 4 < len(ws))
+            )
+            SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                   array_to_string(ws[i+1 : i+32], ' ') AS chunk_text,
+                   CAST(len(ws[i+1 : i+32]) AS INTEGER) AS n_chunk_tokens
+            FROM starts
         """,
         "embedding_quantize": """
             WITH s AS (

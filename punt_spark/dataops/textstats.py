@@ -324,3 +324,66 @@ def token_frequencies(
         F.count(F.lit(1)).alias("count"),
         F.countDistinct(id_col).alias("doc_freq"),
     )
+
+
+# --- document chunking (long-doc windowing for training) --------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into ``max_tokens``-token windows with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the standard long-document treatment when the model context is
+    shorter than the document (each chunk becomes its own training row;
+    the overlap preserves cross-boundary context).
+
+    Output: one row per chunk — (input cols…, chunk_idx, chunk_text,
+    n_chunk_tokens). Empty/whitespace docs emit ZERO chunks; a doc with
+    ≤ max_tokens tokens emits exactly one. Deterministic and
+    partitioning-independent: chunk boundaries are pure functions of the
+    token sequence. Shape at scale: per-row array exprs + one explode —
+    zero shuffles."""
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    step = max_tokens - overlap
+    d = df.withColumn(
+        "__toks",
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ),
+    )
+    # chunk start offsets 0, step, 2·step, … < n_tokens; a trailing start
+    # whose whole window sits inside the previous chunk's overlap (s > 0
+    # and s + overlap >= n) adds no new tokens and is dropped — matching
+    # the standard emit-then-break chunking loop
+    chunks = F.expr(
+        f"CASE WHEN size(__toks) = 0 THEN array() "
+        f"ELSE transform("
+        f"  filter(sequence(0, size(__toks) - 1, {step}),"
+        f"         s -> s = 0 OR s + {overlap} < size(__toks)),"
+        f" s -> struct(array_join(slice(__toks, s + 1, {max_tokens}), ' ')"
+        f" AS chunk_text,"
+        f" size(slice(__toks, s + 1, {max_tokens})) AS n_chunk_tokens)) END"
+    )
+    return (
+        d.withColumn("__chunks", chunks)
+        .select(
+            *[c for c in df.columns],
+            F.posexplode("__chunks").alias("chunk_idx", "__c"),
+        )
+        .select(
+            *[c for c in df.columns],
+            "chunk_idx",
+            F.col("__c.chunk_text"),
+            F.col("__c.n_chunk_tokens"),
+        )
+    )

@@ -17,7 +17,7 @@ turn-count cap upstream, same guard class as LSH's max_bucket).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -26,6 +26,73 @@ def _sql_str_literal(s: str) -> str:
     are interpolated into an F.expr — a quote or backslash in them must not
     break out of, or inject into, the expression)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def validate_conversations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str | None = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    order_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Per-conversation structural health checks — the transcript-payload
+    gate a training pipeline runs BEFORE rendering/packing (a conversation
+    with duplicated or missing turns, consecutive same-role turns, or
+    empty texts produces corrupt training documents downstream):
+
+    * ``n_turns``
+    * ``dup_turns``          — duplicate ``idx_col`` values (None skips)
+    * ``gap_turns``          — missing indices inside [min, max]
+    * ``starts_at_zero``     — first index is 0
+    * ``alternation_breaks`` — consecutive turns with the same role, in
+      deterministic (idx/order, role, text) order
+    * ``empty_turns``        — NULL/blank texts
+    * ``valid``              — all of the above clean
+
+    Shape at scale: ONE shuffle on the conversation key (a partitioned
+    window + the groupBy reuse the same exchange) — never a global sort.
+    ``order_cols`` overrides the ordering key when there is no integer
+    index (e.g. event streams ordered by (ts, event_id)); index checks
+    are skipped when ``idx_col`` is None."""
+    order = list(order_cols) if order_cols else [idx_col]
+    w = Window.partitionBy(conv_col).orderBy(
+        *order, F.col(role_col), F.col(text_col)
+    )
+    d = df.withColumn("__prev_role", F.lag(role_col).over(w))
+    is_empty = (
+        F.col(text_col).isNull() | (F.length(F.trim(F.col(text_col))) == 0)
+    ).cast("int")
+    same_role = (
+        F.col("__prev_role").isNotNull()
+        & (F.col(role_col) == F.col("__prev_role"))
+    ).cast("int")
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(same_role).alias("alternation_breaks"),
+        F.sum(is_empty).alias("empty_turns"),
+    ]
+    if idx_col is not None:
+        aggs += [
+            (F.count(F.lit(1)) - F.countDistinct(F.col(idx_col))).alias(
+                "dup_turns"
+            ),
+            (
+                F.max(idx_col) - F.min(idx_col) + 1
+                - F.countDistinct(F.col(idx_col))
+            ).alias("gap_turns"),
+            (F.min(idx_col) == 0).alias("starts_at_zero"),
+        ]
+    out = d.groupBy(conv_col).agg(*aggs)
+    ok = (F.col("alternation_breaks") == 0) & (F.col("empty_turns") == 0)
+    if idx_col is not None:
+        ok = (
+            ok
+            & (F.col("dup_turns") == 0)
+            & (F.col("gap_turns") == 0)
+            & F.col("starts_at_zero")
+        )
+    return out.withColumn("valid", ok)
 
 
 def render_conversations(

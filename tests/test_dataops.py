@@ -679,6 +679,63 @@ def test_multimodal_real_mode_opaque_payloads(spark):
 # --- corpus curation (composed pipeline) -------------------------------------------------
 
 
+def test_validate_conversations(spark):
+    from punt_spark.dataops.transcripts import validate_conversations
+
+    rows = [
+        ("ok", 0, "user", "hi"), ("ok", 1, "assistant", "hello"),
+        ("dup", 0, "user", "a"), ("dup", 0, "assistant", "b"),
+        ("gap", 0, "user", "a"), ("gap", 2, "assistant", "b"),
+        ("alt", 0, "user", "a"), ("alt", 1, "user", "b"),
+        ("empty", 0, "user", "  "), ("empty", 1, "assistant", "x"),
+        ("late", 1, "user", "a"), ("late", 2, "assistant", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {
+        r["conv_id"]: r
+        for r in validate_conversations(df.repartition(5)).collect()
+    }
+    assert out["ok"]["valid"] and out["ok"]["n_turns"] == 2
+    assert out["dup"]["dup_turns"] == 1 and not out["dup"]["valid"]
+    assert out["gap"]["gap_turns"] == 1 and not out["gap"]["valid"]
+    assert out["alt"]["alternation_breaks"] == 1 and not out["alt"]["valid"]
+    assert out["empty"]["empty_turns"] == 1 and not out["empty"]["valid"]
+    assert not out["late"]["starts_at_zero"] and not out["late"]["valid"]
+    # index-less mode (event streams): only order-based checks apply
+    ev = validate_conversations(
+        df, idx_col=None, order_cols=("turn_idx",)
+    ).collect()
+    assert {r["conv_id"]: r["valid"] for r in ev}["late"]  # no index checks
+
+
+def test_chunk_documents(spark):
+    from punt_spark.dataops.textstats import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "  ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, max_tokens=2).toPandas()
+    by_doc = {
+        k: g.sort_values("chunk_idx")["chunk_text"].tolist()
+        for k, g in out.groupby("doc_id")
+    }
+    assert by_doc[1] == ["a b", "c d", "e"]
+    assert by_doc[2] == ["x"]
+    assert 3 not in by_doc  # empty doc → zero chunks
+    # overlap: step = max_tokens - overlap; a trailing start fully inside
+    # the previous chunk's overlap is dropped (adds no new tokens)
+    ov = chunk_documents(df, max_tokens=3, overlap=1).toPandas()
+    d1 = ov[ov.doc_id == 1].sort_values("chunk_idx")
+    assert d1["chunk_text"].tolist() == ["a b c", "c d e"]
+    assert d1["n_chunk_tokens"].tolist() == [3, 3]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=3, overlap=3)
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, max_tokens=0)
+
+
 def test_curate_corpus_synthetic(spark):
     from punt_spark.dataops.curation import curate_corpus
 
