@@ -59,13 +59,38 @@ def curate_corpus(
     the earlier stages are ignored (both ends are semi-joined to the
     exact-dedup survivors, exactly what the built-in stage guarantees by
     construction); the higher id of each surviving pair is dropped.
+
+    Execution shape: every stage feeds BOTH its survivor frame and a
+    removed-audit branch, so without materialization the upstream lineage
+    (quality regexes, shingle explodes, the LSH band join) recomputes
+    once per branch — measured ~10 corpus-lineage replays and 15.7 s at
+    sf0.1. The stage-boundary frames are therefore ``persist()``-ed
+    (MEMORY_AND_DISK; the frames shrink monotonically down the chain);
+    call the returned ``unpersist()`` when done with the outputs. At
+    100 TB the persisted footprint is bounded by the post-quality corpus
+    — the alternative (N lineage replays over the raw corpus) is strictly
+    worse.
     """
     scored = with_quality(docs, text_col)
     if max_repetition is not None:
         scored = with_repetition(scored, text_col)
     if keep_langs is not None:
         scored = with_lang_id(scored, text_col)
+    persisted: list[DataFrame] = []
 
+    def _stage(df: DataFrame) -> DataFrame:
+        # persist AND materialize: a lazily-persisted frame consumed by
+        # several concurrent branches of one downstream action is raced —
+        # each branch computes the uncached partitions itself (same
+        # lesson as pipeline._record_scan_stats), so the cold cost stayed
+        # ~N replays until this count() forces the cache to fill ONCE.
+        # One extra (useful-work) job per stage; every consumer after it
+        # is a cache scan.
+        persisted.append(df.persist())
+        df.count()
+        return df
+
+    scored = _stage(scored)
     removed_frames: list[DataFrame] = []
 
     quality_ok = scored.filter(F.col("quality_score") >= min_quality)
@@ -95,8 +120,10 @@ def curate_corpus(
         lang_ok = quality_ok
 
     if benchmark is not None:
-        clean = decontaminate(
-            lang_ok, benchmark, text_col, id_col, decontam_shingle_n
+        clean = _stage(
+            decontaminate(
+                lang_ok, benchmark, text_col, id_col, decontam_shingle_n
+            )
         )
         removed_frames.append(
             lang_ok.join(clean.select(id_col), id_col, "left_anti").select(
@@ -106,7 +133,7 @@ def curate_corpus(
         lang_ok = clean
 
     # exact dedup keeps the min-id representative
-    exact_kept = exact_dedup(lang_ok, [text_col], id_col)
+    exact_kept = _stage(exact_dedup(lang_ok, [text_col], id_col))
     removed_frames.append(
         lang_ok.join(exact_kept.select(id_col), id_col, "left_anti").select(
             F.col(id_col), F.lit("exact_dup").alias("reason")
@@ -131,8 +158,10 @@ def curate_corpus(
             bands=bands,
             threshold=near_dup_threshold,
         )
-    near_dup_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    retained = exact_kept.join(near_dup_ids, id_col, "left_anti")
+    near_dup_ids = _stage(
+        pairs.select(F.col("id_b").alias(id_col)).distinct()
+    )
+    retained = _stage(exact_kept.join(near_dup_ids, id_col, "left_anti"))
     removed_frames.append(
         near_dup_ids.select(F.col(id_col), F.lit("near_dup").alias("reason"))
     )
@@ -140,7 +169,9 @@ def curate_corpus(
     if max_per_source is not None:
         from .sampling import cap_per_group
 
-        capped = cap_per_group(retained, source_col, id_col, max_per_source)
+        capped = _stage(
+            cap_per_group(retained, source_col, id_col, max_per_source)
+        )
         removed_frames.append(
             retained.join(capped.select(id_col), id_col, "left_anti").select(
                 F.col(id_col), F.lit("source_cap").alias("reason")
@@ -163,4 +194,14 @@ def curate_corpus(
             F.lit("retained").alias("reason"), F.count(F.lit(1)).alias("n")
         )
     )
-    return {"retained": retained, "removed": removed, "stats": stats}
+
+    def unpersist():
+        for f in persisted:
+            f.unpersist()
+
+    return {
+        "retained": retained,
+        "removed": removed,
+        "stats": stats,
+        "unpersist": unpersist,
+    }
