@@ -648,6 +648,26 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """Pre-dedup text canonicalization: strip control + zero-width
+    characters, collapse whitespace runs (incl. NBSP), trim. The fixture
+    corpus is clean, so a deterministic messy wrapper (controls, ZWSP,
+    NBSP, padding) is planted around every text — the normalization is
+    exercised on every row, not vacuously (same construction pattern as
+    ``pii_redact``)."""
+    from punt_spark.dataops.textstats import normalize_text
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "messy",
+        F.concat(
+            F.lit("\tA\x07B  "),
+            F.col("text"),
+            F.lit("\u200bzero\u00a0width\x01 end  "),
+        ),
+    )
+    return normalize_text(d, "messy").select("doc_id", "norm_text")
+
+
 def q_validate_conversations(spark, sf_dir):
     """Conversation structural health gate (transcript payload): per
     user event-stream, count consecutive same-role turns and empty
@@ -908,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": q_embedding_quantize,
         "validate_conversations": q_validate_conversations,
         "chunk_documents": q_chunk_documents,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -1213,6 +1234,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 20 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "normalize_text": """
+            WITH p AS (
+                SELECT doc_id,
+                       chr(9) || 'A' || chr(7) || 'B  ' || text ||
+                       chr(8203) || 'zero' || chr(160) || 'width' ||
+                       chr(1) || ' end  ' AS messy
+                FROM documents)
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(messy,
+                        '[\\x00-\\x08\\x0B-\\x1F\\x7F\\x80-\\x9F]', '', 'g'),
+                        '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+                        '[\\s\\x{00A0}]+', ' ', 'g')) AS norm_text
+            FROM p
         """,
         "validate_conversations": """
             WITH o AS (

@@ -387,3 +387,40 @@ def chunk_documents(
             F.col("__c.n_chunk_tokens"),
         )
     )
+
+
+# --- text normalization (pre-dedup canonicalization) ------------------------------
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "norm_text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonicalize text before fingerprinting/dedup — the cheap
+    normalization pass that makes byte-level dedup keys meaningful across
+    crawl sources:
+
+    * strip C0/C1 control characters (except \\t \\n) and zero-width
+      characters (ZWSP/ZWNJ/ZWJ/BOM),
+    * collapse all whitespace runs (incl. NBSP) to one space,
+    * trim; optional lowercasing.
+
+    All chained native regexp_replace — JVM-side, zero shuffles, same
+    pattern bank replayable in the DuckDB oracle (RE2-safe classes).
+    Unicode NFC normalization is deliberately out of scope: Spark has no
+    built-in normalizer, and a per-row Python pass for it would put a UDF
+    in the hottest path — document it upstream if the crawl needs it."""
+    col = F.col(text_col)
+    # control chars (keep \t \n for now — the whitespace collapse below
+    # folds them anyway) + zero-width/bom
+    col = F.regexp_replace(
+        col, "[\\x00-\\x08\\x0B-\\x1F\\x7F\\x80-\\x9F]", ""
+    )
+    col = F.regexp_replace(col, "[\\u200B\\u200C\\u200D\\uFEFF]", "")
+    col = F.regexp_replace(col, "[\\s\\u00A0]+", " ")
+    col = F.trim(col)
+    if lowercase:
+        col = F.lower(col)
+    return df.withColumn(out, col)

@@ -736,6 +736,24 @@ def test_chunk_documents(spark):
         chunk_documents(df, max_tokens=0)
 
 
+def test_normalize_text(spark):
+    from punt_spark.dataops.textstats import normalize_text
+
+    messy = "\tA\x07B  mid\u200bdle\u00a0space\x01 end  "
+    df = spark.createDataFrame(
+        [(1, messy), (2, "plain text"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    # BEL/SOH controls stripped, ZWSP removed (no space left behind),
+    # NBSP + tab + runs collapse to single spaces, ends trimmed
+    assert out[1] == "AB middle space end"
+    assert out[2] == "plain text"
+    assert out[3] is None
+    low = normalize_text(df, lowercase=True).collect()
+    assert {r["doc_id"]: r["norm_text"] for r in low}[1] == "ab middle space end"
+
+
 def test_curate_corpus_synthetic(spark):
     from punt_spark.dataops.curation import curate_corpus
 
