@@ -54,6 +54,12 @@ def main(argv: list[str] | None = None) -> int:
                     "(conv_id, turn_idx))")
     ap.add_argument("--retention", action="store_true",
                     help="run keep-N partition GC after the pipeline")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the pipeline, rewrite each sink snapshot's "
+                    "small files to one file per partition value "
+                    "(micro-batch commits accumulate small files; "
+                    "Iceberg rewrite_data_files analog, per-snapshot so "
+                    "resume/idempotency semantics are preserved)")
     ap.add_argument("--tail", metavar="SINK[,SINK...]",
                     help="instead of running the pipeline, tail sink "
                     "table(s) under --out (punt-cli analog; a comma list "
@@ -258,6 +264,11 @@ def main(argv: list[str] | None = None) -> int:
     result = pipe.run(transcripts, resume=not args.no_resume)
     if args.retention:
         result["retention_expired"] = pipe.run_retention()
+    if args.compact:
+        result["compaction"] = {
+            name: t.compact_snapshots(spark)
+            for name, t in pipe.sinks.items()
+        }
     print(json.dumps(result, indent=1, default=str))
     return 0
 

@@ -349,6 +349,106 @@ class SnapshotTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def compact_snapshots(
+        self,
+        spark: SparkSession,
+        min_files: int = 2,
+        snapshot_ids: list[str] | None = None,
+    ) -> dict[str, dict]:
+        """Small-file compaction — the third Iceberg-style maintenance op
+        next to keep-N retention and time travel. Micro-batch commits
+        (streaming mode: one snapshot per batch, salt_buckets files per
+        partition value) accumulate small files that tax every subsequent
+        scan's task scheduling; compaction rewrites each snapshot's file
+        set to ONE file per partition value and republishes the manifest
+        atomically.
+
+        Per-SNAPSHOT by design: snapshot ids (and so chunk-level resume
+        and idempotent re-commit semantics) are preserved — a re-delivered
+        micro-batch still overwrites its own snapshot. Cross-snapshot
+        merging is deliberately out of scope (it would fold several
+        idempotency units into one; Iceberg's rewrite_data_files carries a
+        whole conflict-detection subsystem for that).
+
+        Crash-safe: new files land under ``batch=<sid>.c<gen>`` before the
+        manifest swap; a crash beforehand leaves them orphaned and
+        invisible. Old files are deleted only after publish. Hot-partition
+        caveat: one output file per partition value means one task per
+        value — compaction inherits the partition sizing of the original
+        write; for a pathologically hot cell, compact less often or raise
+        the write-side salt.
+
+        Returns {snapshot_id: {"files_before", "files_after"}} for the
+        snapshots actually rewritten (< ``min_files`` files are skipped).
+        """
+        out: dict[str, dict] = {}
+        for sid, m in self.snapshots().items():
+            if snapshot_ids is not None and sid not in snapshot_ids:
+                continue
+            files = [
+                os.path.join(self.root, f)
+                for f in m["files"]
+                if os.path.exists(os.path.join(self.root, f))
+            ]
+            if len(files) < min_files:
+                continue
+            per_dir: dict[str, int] = {}
+            for f in m["files"]:
+                d = os.path.dirname(f)
+                per_dir[d] = per_dir.get(d, 0) + 1
+            if max(per_dir.values()) <= 1:
+                continue  # already one file per partition value
+            part_cols = [c for c in m.get("partition_cols", []) if c]
+            df = (
+                spark.read.option("basePath", self.data_dir)
+                .parquet(*files)
+            )
+            df = df.drop(*[c for c in ("batch",) if c in df.columns])
+            gen = 0
+            while os.path.exists(
+                os.path.join(self.data_dir, f"batch={sid}.c{gen}")
+            ):
+                gen += 1
+            new_batch = f"{sid}.c{gen}"
+            if part_cols:
+                df = df.repartition(
+                    *[F.col(c) for c in part_cols]
+                ).sortWithinPartitions(*part_cols)
+            else:
+                df = df.coalesce(1)
+            path = self._write_batch_dir(df, new_batch, part_cols)
+            new_files = [
+                os.path.relpath(f, self.root)
+                for f in glob.glob(
+                    os.path.join(path, "**", "*.parquet"), recursive=True
+                )
+            ]
+            lineage = self._partition_lineage(
+                new_files, self._read_footers(new_files)
+            )
+            old_files = m["files"]
+            m = dict(m)
+            m.update(
+                {
+                    "files": new_files,
+                    "n_files": len(new_files),
+                    "batch": new_batch,
+                    "lineage": lineage,
+                    "compacted_from": len(old_files),
+                    "committed_at": time.time(),
+                }
+            )
+            self._publish(m)
+            for f in old_files:
+                p = os.path.join(self.root, f)
+                if os.path.exists(p):
+                    os.remove(p)
+            out[sid] = {
+                "files_before": len(old_files),
+                "files_after": len(new_files),
+            }
+        return out
+
     def partitions(self, prefix: str | None = None) -> list[str]:
         """Distinct route_key partition values across committed snapshots.
         Lexicographic sort == chronological (zero-padded date formats), the

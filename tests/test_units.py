@@ -328,6 +328,40 @@ def test_partition_spec_is_immutable(spark, tmp_path):
     assert os.path.exists(tbl._spec_path)
 
 
+def test_snapshot_compaction(spark, tmp_path):
+    """compact_snapshots rewrites a snapshot's small files to one file per
+    partition value, preserves every row and the snapshot id, and leaves
+    idempotent re-commit semantics intact."""
+    from punt_spark.sink import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "cmp_tbl"))
+    rows = [
+        (f"c{i}", i, f"r{i % 2}", f"d{i % 2}") for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, route_key string, ts_day string"
+    )
+    # many small files: repartition(8) → up to 8 files per partition value
+    tbl.commit(df.repartition(8), "s1")
+    before = tbl.snapshots()["s1"]
+    assert before["n_files"] > 2
+    res = tbl.compact_snapshots(spark)
+    assert res["s1"]["files_after"] <= 2  # one per (route_key, ts_day)
+    assert res["s1"]["files_after"] < res["s1"]["files_before"]
+    after = tbl.snapshots()["s1"]
+    assert after["lineage"]["n_rows"] == 40
+    got = {
+        (r["conv_id"], r["turn_idx"], r["route_key"], r["ts_day"])
+        for r in tbl.read(spark).collect()
+    }
+    assert got == set(rows)  # row-for-row identical through compaction
+    # old files gone, compaction is idempotent-skippable
+    assert tbl.compact_snapshots(spark) == {}
+    # idempotent re-commit of the same snapshot id still overwrites cleanly
+    tbl.commit(df.limit(5), "s1")
+    assert tbl.read(spark).count() == 5
+
+
 def test_snapshot_time_travel_read(spark, tmp_path):
     """read(as_of=t) sees exactly the snapshots committed by t — Iceberg
     time travel in miniature."""
