@@ -149,6 +149,41 @@ def run_pipeline_once(
     }
 
 
+def run_streaming_once(
+    threads: int, fixtures_path: str, n_rows: int
+) -> dict:
+    """Streaming drain over the same fixture (Trigger.AvailableNow, metrics
+    ON) — the daemon shape's throughput next to the batch headline. One
+    number, not a scaling pair: the micro-batch boundary costs are the
+    interesting delta vs batch."""
+    from punt_spark.streaming import StreamingPipeline
+
+    spark = _fresh_session(threads, f"punt_bench_stream_{threads}")
+    out_dir = tempfile.mkdtemp(prefix=f"punt_bench_sout_{threads}_")
+    try:
+        from punt_spark.pipeline import load_lookups
+
+        s = StreamingPipeline(
+            spark,
+            out_dir=out_dir,
+            lookups=load_lookups(spark, fixtures_path),
+            collect_metrics=True,
+        )
+        t0 = time.monotonic()
+        s.run_available_now(os.path.join(fixtures_path, "transcripts.parquet"))
+        wall = time.monotonic() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        spark.stop()
+        time.sleep(1)
+    return {
+        "threads": threads,
+        "wall_sec": round(wall, 2),
+        "turns_per_sec": round(n_rows / wall, 1),
+        "metrics": "on",
+    }
+
+
 def _warm_page_cache(fixtures_path: str):
     """Pull the input bytes into the OS page cache before a timed core run.
     The core measurement evidences CPU scaling (N vs 4N cores on identical
@@ -293,6 +328,7 @@ def main() -> int:
     pipe_eff = (
         pipe_high["turns_per_sec"] / pipe_low["turns_per_sec"]
     ) / (CPUS / LOW_CPUS)
+    stream = run_streaming_once(CPUS, fixtures_path, n_rows)
 
     result = {
         "metric": "parsed+routed turns/sec (full pipeline at local[CPUS]; "
@@ -325,6 +361,13 @@ def main() -> int:
                     pipe_high["turns_per_sec"] / pipe_low["turns_per_sec"], 3
                 ),
                 "efficiency": round(pipe_eff, 3),
+            },
+            "streaming": {
+                "what": "same pipeline as a Structured Streaming "
+                "AvailableNow drain (foreachBatch micro-batches, metrics "
+                "ON) — the daemon shape",
+                "n_turns": n_rows,
+                "run": stream,
             },
         },
     }
