@@ -766,7 +766,12 @@ def q_curate_corpus(spark, sf_dir):
     retained = out["retained"].select(
         F.col("doc_id"), F.lit("retained").alias("status")
     )
-    return removed.unionByName(retained)
+    # materialize the (tiny) result, then release the corpus-scale stage
+    # caches — without this every caller of the query leaks ~6 persisted
+    # frames into the shared session for its lifetime
+    res = removed.unionByName(retained).localCheckpoint()
+    out["unpersist"]()
+    return res
 
 
 def q_dup_clusters(spark, sf_dir):

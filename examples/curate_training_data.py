@@ -84,6 +84,7 @@ def main(argv: list[str] | None = None) -> int:
         "budget": args.budget,
     }
     print(json.dumps(summary, indent=1, sort_keys=True))
+    out["unpersist"]()  # release the curation stage caches
     return 0
 
 

@@ -244,13 +244,23 @@ def main(argv: list[str] | None = None) -> int:
         s.run_available_now(
             tpath, max_files_per_trigger=args.stream_max_files
         )
-        print(
-            json.dumps(
-                {"mode": "stream", "metrics": s.metrics.totals()},
-                indent=1,
-                default=str,
-            )
-        )
+        result = {"mode": "stream", "metrics": s.metrics.totals()}
+        if args.retention:
+            expired: dict[str, list[str]] = {}
+            for g in cfg.gc:
+                for t in s.sinks.values():
+                    dropped = t.expire_partitions(g.prefix, g.keep)
+                    if dropped:
+                        expired.setdefault(g.prefix, []).extend(dropped)
+            result["retention_expired"] = expired
+        if args.compact:
+            # the streaming mode is where small files accumulate (one
+            # snapshot per micro-batch) — the flag must work here most
+            result["compaction"] = {
+                name: t.compact_snapshots(spark)
+                for name, t in s.sinks.items()
+            }
+        print(json.dumps(result, indent=1, default=str))
         return 0
 
     pipe = Pipeline(

@@ -55,6 +55,12 @@ def validate_conversations(
     ``order_cols`` overrides the ordering key when there is no integer
     index (e.g. event streams ordered by (ts, event_id)); index checks
     are skipped when ``idx_col`` is None."""
+    if order_cols is None and idx_col is None:
+        raise ValueError(
+            "validate_conversations: order_cols is required when idx_col "
+            "is None (an index-less stream still needs a deterministic "
+            "turn ordering for the alternation check)"
+        )
     order = list(order_cols) if order_cols else [idx_col]
     w = Window.partitionBy(conv_col).orderBy(
         *order, F.col(role_col), F.col(text_col)
@@ -126,7 +132,12 @@ def render_conversations(
     agg = df.groupBy(conv_col).agg(
         F.sort_array(F.collect_list(turn)).alias("__turns"),
         F.count(F.lit(1)).alias("n_turns"),
-        F.sort_array(F.collect_set(role_col)).alias("roles"),
+        # NULL roles coalesce to '' here too — collect_set silently drops
+        # NULLs, which would leave a rendered turn whose speaker is
+        # absent from the roles summary
+        F.sort_array(
+            F.collect_set(F.coalesce(F.col(role_col), F.lit("")))
+        ).alias("roles"),
     )
     role_sep_q = _sql_str_literal(role_sep)
     turn_sep_q = _sql_str_literal(turn_sep)

@@ -184,6 +184,14 @@ class MetricsPlumbing:
         stats = (
             base.select(F.explode(acct).alias("a"))
             .select("a.*")
+            # per-TAG totals first: base rows are per (pid, chunk, tag)
+            # FRAGMENTS — ranking those directly would compare one
+            # partition's slice of a hot tag against whole small tags
+            # (wrong top-K and duplicated named rows whenever a tag spans
+            # >1 cache partition); lin/chk rows (tag NULL) pass through as
+            # one group each
+            .groupBy("kind", "key", "tag")
+            .agg(F.sum("n").alias("n"), F.sum("n_fail").alias("n_fail"))
             .groupBy("kind", "key")
             .agg(
                 F.sum("n").alias("total_n"),

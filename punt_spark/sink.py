@@ -146,11 +146,36 @@ class SnapshotTable:
         os.replace(tmp, self._spec_path)
 
     def _publish(self, manifest: dict) -> dict:
+        """Atomically replace snapshot ``sid``'s manifest, then delete any
+        files the OLD manifest referenced that the new one does not — an
+        idempotent re-commit (or a compaction) must not strand its
+        predecessor's data files on disk, where the glob-based
+        ``tail_stream`` (which lists the data dir, not the manifest) would
+        keep emitting them forever. A crash between the manifest swap and
+        the deletions leaves invisible orphans only (manifest-driven
+        reads never see them)."""
         sid = manifest["snapshot_id"]
+        final = os.path.join(self.snap_dir, f"{sid}.json")
+        old_files: list[str] = []
+        if os.path.exists(final):
+            try:
+                with open(final) as f:
+                    old_files = json.load(f).get("files", [])
+            except (OSError, json.JSONDecodeError):
+                old_files = []
         tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(self.snap_dir, f"{sid}.json"))
+        os.replace(tmp, final)
+        new_set = set(manifest["files"])
+        for rel in old_files:
+            if rel not in new_set:
+                p = os.path.join(self.root, rel)
+                if os.path.exists(p):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
         return manifest
 
     def _read_footers(self, files: list[str]) -> dict[str, int]:
@@ -428,6 +453,10 @@ class SnapshotTable:
             )
             old_files = m["files"]
             m = dict(m)
+            # committed_at is PRESERVED: the rows are identical, so a
+            # time-travel read(as_of=t) for any t after the original
+            # commit must keep seeing this snapshot; compacted_at records
+            # the maintenance event separately
             m.update(
                 {
                     "files": new_files,
@@ -435,14 +464,11 @@ class SnapshotTable:
                     "batch": new_batch,
                     "lineage": lineage,
                     "compacted_from": len(old_files),
-                    "committed_at": time.time(),
+                    "compacted_at": time.time(),
                 }
             )
+            # _publish garbage-collects the replaced manifest's files
             self._publish(m)
-            for f in old_files:
-                p = os.path.join(self.root, f)
-                if os.path.exists(p):
-                    os.remove(p)
             out[sid] = {
                 "files_before": len(old_files),
                 "files_after": len(new_files),

@@ -708,6 +708,9 @@ def test_validate_conversations(spark):
         df, idx_col=None, order_cols=("turn_idx",)
     ).collect()
     assert {r["conv_id"]: r["valid"] for r in ev}["late"]  # no index checks
+    # index-less with no ordering is a clear error, not a py4j crash
+    with pytest.raises(ValueError, match="order_cols is required"):
+        validate_conversations(df, idx_col=None)
 
 
 def test_chunk_documents(spark):

@@ -127,13 +127,20 @@ def test_dynamic_tag_metrics_bounded(spark, tmp_path):
     total stays exact."""
     cfg = default_config()
     n = 10_000
+    # one HOT tag on every 4th row — it spans every cache partition, so
+    # the top-K must rank its per-tag TOTAL (n/4), not per-partition
+    # fragments (which individually lose to the count-1 unique tags)
     df = spark.range(n).select(
         F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         F.lit("user").alias("role"),
         F.concat(
-            F.lit("<13>Mar 10 04:00:00 h tag"),
-            F.lpad(F.col("id").cast("string"), 5, "0"),
+            F.lit("<13>Mar 10 04:00:00 h "),
+            F.when(F.col("id") % 4 == 0, F.lit("hotshared")).otherwise(
+                F.concat(
+                    F.lit("tag"), F.lpad(F.col("id").cast("string"), 5, "0")
+                )
+            ),
             F.lit(": x"),
         ).alias("text"),
         F.lit("t").alias("tool"),
@@ -149,14 +156,21 @@ def test_dynamic_tag_metrics_bounded(spark, tmp_path):
         for r in pipe.metrics.rows
         if r["metric"] == "msgs.received" and r["tag"] not in static
     ]
-    dyn_tags = {r["tag"] for r in recv}
-    assert "__other__" in dyn_tags
-    assert len(dyn_tags) <= 6  # 5 named + __other__
-    # every tag count is 1 → deterministic top-5 is the 5 smallest tags
-    assert sorted(dyn_tags - {"__other__"}) == [
-        f"tag{i:05d}" for i in range(5)
-    ]
-    assert sum(r["value"] for r in recv) == n  # totals stay exact
+    counts: dict[str, int] = {}
+    for r in recv:
+        counts[r["tag"]] = counts.get(r["tag"], 0) + r["value"]
+    assert "__other__" in counts
+    assert len(counts) <= 6  # 5 named + __other__
+    # top-5 = the hot tag (by TOTAL count) + the 4 lexicographically
+    # first count-1 tags (ids 1,2,3,5 — multiples of 4 are hot)
+    assert sorted(set(counts) - {"__other__"}) == sorted(
+        ["hotshared"] + [f"tag{i:05d}" for i in (1, 2, 3, 5)]
+    )
+    assert counts["hotshared"] == n // 4
+    assert all(counts[f"tag{i:05d}"] == 1 for i in (1, 2, 3, 5))
+    # exactly one named row per tag (no per-fragment duplicates)
+    assert len(recv) == len(counts)
+    assert sum(counts.values()) == n  # totals stay exact
     # per-pid lineage survived the same single collect
     lin = [
         r

@@ -357,9 +357,25 @@ def test_snapshot_compaction(spark, tmp_path):
     assert got == set(rows)  # row-for-row identical through compaction
     # old files gone, compaction is idempotent-skippable
     assert tbl.compact_snapshots(spark) == {}
+    # committed_at is PRESERVED: a time-travel read for a timestamp after
+    # the original commit but before the compaction still sees the rows
+    t_before_compact = before["committed_at"] + 1e-3
+    assert after["committed_at"] == before["committed_at"]
+    assert tbl.read(spark, as_of=t_before_compact).count() == 40
     # idempotent re-commit of the same snapshot id still overwrites cleanly
+    # AND garbage-collects the compacted generation's files — the
+    # glob-based tail_stream must never see strays the manifest dropped
     tbl.commit(df.limit(5), "s1")
     assert tbl.read(spark).count() == 5
+    import glob as _glob
+
+    on_disk = {
+        os.path.relpath(f, tbl.root)
+        for f in _glob.glob(
+            os.path.join(tbl.data_dir, "**", "*.parquet"), recursive=True
+        )
+    }
+    assert on_disk == set(tbl.snapshots()["s1"]["files"])
 
 
 def test_snapshot_time_travel_read(spark, tmp_path):
