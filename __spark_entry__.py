@@ -648,6 +648,20 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion exact dedup: an incoming batch (docs with
+    doc_id % 5 == 0) anti-joined against the existing corpus's
+    normalized-text fingerprint index, keeping the min-id representative
+    of each within-batch duplicate group. The corpus is never re-scanned
+    per batch at scale — only its ~32-byte/doc fingerprint table joins."""
+    from punt_spark.dataops.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    hist = d.filter(F.col("doc_id") % 5 != 0)
+    return incremental_dedup(batch, hist).select("doc_id")
+
+
 def q_normalize_text(spark, sf_dir):
     """Pre-dedup text canonicalization: strip control + zero-width
     characters, collapse whitespace runs (incl. NBSP), trim. The fixture
@@ -934,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_conversations": q_validate_conversations,
         "chunk_documents": q_chunk_documents,
         "normalize_text": q_normalize_text,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -1239,6 +1254,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 20 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """,
+        "incremental_dedup": """
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                     'g')))) AS f
+                FROM documents
+            ),
+            hist AS (SELECT DISTINCT f FROM fp WHERE doc_id % 5 <> 0),
+            batch AS (SELECT doc_id, f FROM fp WHERE doc_id % 5 = 0),
+            keep AS (SELECT min(doc_id) AS doc_id, f FROM batch GROUP BY f)
+            SELECT k.doc_id FROM keep k
+            WHERE k.f NOT IN (SELECT f FROM hist)
         """,
         "normalize_text": """
             WITH p AS (

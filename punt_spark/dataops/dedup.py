@@ -577,3 +577,48 @@ def minhash_dedup_keep(
         F.col("id").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+# --- incremental dedup (continuous ingestion) -------------------------------------
+
+
+def _norm_fingerprint(text_col: str):
+    """md5 of whitespace-normalized lowercase text — byte-identical to
+    textstats.with_fingerprint's fingerprint_md5 (kept inline here to
+    avoid a dedup↔textstats import cycle)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return F.md5(norm.cast("binary"))
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    history_fp_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup of an INCOMING batch against an existing corpus — the
+    continuous-ingestion shape at 10¹²-doc scale: the corpus is never
+    re-scanned per batch; instead its normalized-text FINGERPRINT index
+    (~32 bytes/doc — store it as a table, append each accepted batch's
+    fingerprints) is anti-joined against the small new batch.
+
+    ``history`` is either a raw-text frame (fingerprints derived with the
+    same normalization) or, the production path, a fingerprint table —
+    name its column via ``history_fp_col``. Within-batch duplicates keep
+    the min-id representative first, so the result is dup-free against
+    BOTH the history and itself. Shape: one groupBy on the batch (small)
+    + one anti-join whose build side is the batch — the history side
+    streams; at scale, bucket the fingerprint table on the fingerprint
+    so the join co-locates without a shuffle of the index."""
+    fp = _norm_fingerprint(text_col)
+    b = new_df.withColumn("__fp", fp)
+    keep = b.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    batch = b.join(
+        keep.withColumnRenamed(id_col, "__keep_id"), "__fp"
+    ).filter(F.col(id_col) == F.col("__keep_id")).drop("__keep_id")
+    if history_fp_col is not None:
+        hist = history.select(F.col(history_fp_col).alias("__fp"))
+    else:
+        hist = history.select(_norm_fingerprint(text_col).alias("__fp"))
+    return batch.join(hist, "__fp", "left_anti").drop("__fp")

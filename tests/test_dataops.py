@@ -43,6 +43,41 @@ def test_exact_dedup(docs):
     assert stats["n_rows"] == 6 and stats["n_unique"] == 5 and stats["n_dupes"] == 1
 
 
+def test_incremental_dedup(spark):
+    """Continuous-ingestion dedup: the new batch is deduped against BOTH
+    the history fingerprint index and itself, with normalization-aware
+    matching (case/whitespace variants collapse)."""
+    hist = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "existing doc two")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "THE  quick\tbrown fox"),   # dup of history 1 (normalized)
+            (11, "brand new document"),
+            (12, "brand  NEW document"),      # in-batch dup of 11
+            (13, "another fresh one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(batch, hist).collect()
+    }
+    assert kept == {11, 13}
+    # production path: history supplied as a fingerprint table
+    from punt_spark.dataops.textstats import with_fingerprint
+
+    fps = with_fingerprint(hist).select("fingerprint_md5")
+    kept2 = {
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            batch, fps, history_fp_col="fingerprint_md5"
+        ).collect()
+    }
+    assert kept2 == kept
+
+
 # --- MinHash / LSH ---------------------------------------------------------------
 
 
