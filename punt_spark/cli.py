@@ -24,6 +24,18 @@ from .pipeline import Pipeline, load_lookups
 from .session import get_spark
 
 
+def _all_tables(p) -> dict:
+    """Every snapshot table a pipeline owns — the sinks plus the
+    errors/alerts/actions side tables (which accumulate per-micro-batch
+    snapshots just like the sinks do)."""
+    return {
+        **p.sinks,
+        "errors": p.errors_table,
+        "alerts": p.alerts_table,
+        "actions": p.actions_table,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="punt-spark", description=__doc__)
     ap.add_argument("--input", help="transcripts parquet dir/file (required unless --tail)")
@@ -246,19 +258,16 @@ def main(argv: list[str] | None = None) -> int:
         )
         result = {"mode": "stream", "metrics": s.metrics.totals()}
         if args.retention:
-            expired: dict[str, list[str]] = {}
-            for g in cfg.gc:
-                for t in s.sinks.values():
-                    dropped = t.expire_partitions(g.prefix, g.keep)
-                    if dropped:
-                        expired.setdefault(g.prefix, []).extend(dropped)
-            result["retention_expired"] = expired
+            from .sink import expire_by_config
+
+            result["retention_expired"] = expire_by_config(cfg, s.sinks)
         if args.compact:
             # the streaming mode is where small files accumulate (one
-            # snapshot per micro-batch) — the flag must work here most
+            # snapshot per micro-batch) — sinks AND the per-batch side
+            # tables (errors/alerts/actions commit every micro-batch too)
             result["compaction"] = {
                 name: t.compact_snapshots(spark)
-                for name, t in s.sinks.items()
+                for name, t in _all_tables(s).items()
             }
         print(json.dumps(result, indent=1, default=str))
         return 0
@@ -277,7 +286,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.compact:
         result["compaction"] = {
             name: t.compact_snapshots(spark)
-            for name, t in pipe.sinks.items()
+            for name, t in _all_tables(pipe).items()
         }
     print(json.dumps(result, indent=1, default=str))
     return 0

@@ -583,11 +583,18 @@ def minhash_dedup_keep(
 
 
 def _norm_fingerprint(text_col: str):
-    """md5 of whitespace-normalized lowercase text — byte-identical to
-    textstats.with_fingerprint's fingerprint_md5 (kept inline here to
-    avoid a dedup↔textstats import cycle)."""
-    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return F.md5(norm.cast("binary"))
+    """The canonical normalized-text fingerprint (single definition in
+    textstats.fingerprint_expr — a fork here would silently desync the
+    history-index path from with_fingerprint), NULL-safe for join keys:
+    NULL text fingerprints as the empty string, matching exact_dedup's
+    concat_ws semantics — a NULL-text row must be DEDUPED, not silently
+    dropped by a NULL-vs-NULL join miss."""
+    from .textstats import fingerprint_expr
+
+    return F.coalesce(
+        fingerprint_expr(text_col),
+        F.md5(F.lit("").cast("binary")),
+    )
 
 
 def incremental_dedup(

@@ -160,11 +160,20 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 # --- fingerprinting -----------------------------------------------------------------
 
 
+def fingerprint_expr(text_col: str = "text"):
+    """md5 of whitespace-normalized lowercase text — THE canonical exact
+    near-normalization dedup key; every consumer (with_fingerprint,
+    dedup.incremental_dedup, the oracle SQL) derives from this one
+    expression so the normalization can never silently fork."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return F.md5(norm.cast("binary"))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Two fingerprints: md5 of whitespace-normalized lowercase text (exact
     near-normalization dedup key) and a 64-bit xxhash (cheap join key)."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    return df.withColumn("fingerprint_md5", F.md5(norm.cast("binary"))).withColumn(
+    return df.withColumn("fingerprint_md5", fingerprint_expr(text_col)).withColumn(
         "fingerprint_x64", F.xxhash64(norm)
     )
 

@@ -55,7 +55,7 @@ def validate_conversations(
     ``order_cols`` overrides the ordering key when there is no integer
     index (e.g. event streams ordered by (ts, event_id)); index checks
     are skipped when ``idx_col`` is None."""
-    if order_cols is None and idx_col is None:
+    if not order_cols and idx_col is None:
         raise ValueError(
             "validate_conversations: order_cols is required when idx_col "
             "is None (an index-less stream still needs a deterministic "

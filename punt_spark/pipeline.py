@@ -664,13 +664,9 @@ class Pipeline(MetricsPlumbing):
 
     def run_retention(self) -> dict[str, list[str]]:
         """keep-N retention per configured prefix (reference gc.go:15-55)."""
-        expired: dict[str, list[str]] = {}
-        for g in self.cfg.gc:
-            for sink in self.sinks.values():
-                dropped = sink.expire_partitions(g.prefix, g.keep)
-                if dropped:
-                    expired.setdefault(g.prefix, []).extend(dropped)
-        return expired
+        from .sink import expire_by_config
+
+        return expire_by_config(self.cfg, self.sinks)
 
     def retention_ticker(self, interval_sec: float) -> "RetentionTicker":
         """Scheduled retention — the reference runs keep-N GC on a

@@ -151,9 +151,11 @@ class SnapshotTable:
         idempotent re-commit (or a compaction) must not strand its
         predecessor's data files on disk, where the glob-based
         ``tail_stream`` (which lists the data dir, not the manifest) would
-        keep emitting them forever. A crash between the manifest swap and
-        the deletions leaves invisible orphans only (manifest-driven
-        reads never see them)."""
+        keep emitting them forever. Residual crash window: dying between
+        the manifest swap and the deletions strands the old files —
+        invisible to manifest-driven reads but still globbed by
+        ``tail_stream``; ``gc_orphan_files()`` sweeps them (run it from
+        the owning writer, like the other maintenance ops)."""
         sid = manifest["snapshot_id"]
         final = os.path.join(self.snap_dir, f"{sid}.json")
         old_files: list[str] = []
@@ -373,6 +375,33 @@ class SnapshotTable:
         return df.drop(*[c for c in _HIDDEN_COLS if c in df.columns])
 
     # -- maintenance ---------------------------------------------------------
+
+    def gc_orphan_files(self) -> list[str]:
+        """Delete data files no manifest references — the sweep for the
+        residual ``_publish`` crash window (manifest swapped, old files
+        not yet deleted) and any crash-orphaned published-but-superseded
+        batch. SINGLE-WRITER op: run from the owning driver only, never
+        concurrent with an in-flight commit (a just-renamed batch dir
+        whose manifest has not published yet would be swept). Staging
+        dirs (dot-prefixed) are never touched. Returns the removed
+        relative paths."""
+        referenced = {
+            f for m in self.snapshots().values() for f in m["files"]
+        }
+        removed: list[str] = []
+        for p in glob.glob(
+            os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
+        ):
+            rel = os.path.relpath(p, self.root)
+            if rel not in referenced and not any(
+                seg.startswith(".") for seg in rel.split(os.sep)
+            ):
+                try:
+                    os.remove(p)
+                    removed.append(rel)
+                except OSError:
+                    pass
+        return removed
 
     def compact_snapshots(
         self,
@@ -635,6 +664,19 @@ def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
             f"transformer={t.transformer}')"
         )
     return out
+
+
+def expire_by_config(cfg, sinks: dict[str, SnapshotTable]) -> dict[str, list[str]]:
+    """keep-N retention across a table set per the config's GC rules
+    (reference gc.go:15-55) — the ONE implementation behind both
+    ``Pipeline.run_retention`` and the streaming CLI path."""
+    expired: dict[str, list[str]] = {}
+    for g in cfg.gc:
+        for sink in sinks.values():
+            dropped = sink.expire_partitions(g.prefix, g.keep)
+            if dropped:
+                expired.setdefault(g.prefix, []).extend(dropped)
+    return expired
 
 
 def ddl_for_session_catalog(ddl: str, location: str | None = None) -> str:

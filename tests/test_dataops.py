@@ -57,6 +57,8 @@ def test_incremental_dedup(spark):
             (11, "brand new document"),
             (12, "brand  NEW document"),      # in-batch dup of 11
             (13, "another fresh one"),
+            (14, None),                       # NULL text ≡ empty text …
+            (15, ""),                         # … both dedupe, neither drops
         ],
         "doc_id long, text string",
     )
@@ -64,7 +66,7 @@ def test_incremental_dedup(spark):
         r["doc_id"]
         for r in dedup.incremental_dedup(batch, hist).collect()
     }
-    assert kept == {11, 13}
+    assert kept == {11, 13, 14}
     # production path: history supplied as a fingerprint table
     from punt_spark.dataops.textstats import with_fingerprint
 
@@ -746,6 +748,8 @@ def test_validate_conversations(spark):
     # index-less with no ordering is a clear error, not a py4j crash
     with pytest.raises(ValueError, match="order_cols is required"):
         validate_conversations(df, idx_col=None)
+    with pytest.raises(ValueError, match="order_cols is required"):
+        validate_conversations(df, idx_col=None, order_cols=())
 
 
 def test_chunk_documents(spark):

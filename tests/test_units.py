@@ -378,6 +378,35 @@ def test_snapshot_compaction(spark, tmp_path):
     assert on_disk == set(tbl.snapshots()["s1"]["files"])
 
 
+def test_gc_orphan_files(spark, tmp_path):
+    """The sweep for the _publish crash window: unreferenced data files
+    (visible to the glob-based tail reader) are removed; referenced ones
+    and dot-prefixed staging stay."""
+    import shutil as _shutil
+
+    from punt_spark.sink import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "gc_tbl"))
+    df = spark.createDataFrame(
+        [("a", "r1", "d1")], "conv_id string, route_key string, ts_day string"
+    )
+    tbl.commit(df, "s1")
+    a_file = os.path.join(tbl.root, tbl.snapshots()["s1"]["files"][0])
+    # simulate a crash-stranded superseded generation + in-flight staging
+    orphan = os.path.join(tbl.data_dir, "batch=s1.c9", "route_key=r1",
+                          "ts_day=d1", "part-orphan.parquet")
+    os.makedirs(os.path.dirname(orphan))
+    _shutil.copy(a_file, orphan)
+    staged = os.path.join(tbl.data_dir, ".tmp.batch=x", "part-0.parquet")
+    os.makedirs(os.path.dirname(staged))
+    _shutil.copy(a_file, staged)
+    removed = tbl.gc_orphan_files()
+    assert len(removed) == 1 and "part-orphan" in removed[0]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(staged)  # staging never touched
+    assert tbl.read(spark).count() == 1  # referenced data intact
+
+
 def test_snapshot_time_travel_read(spark, tmp_path):
     """read(as_of=t) sees exactly the snapshots committed by t — Iceberg
     time travel in miniature."""
