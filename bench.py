@@ -312,7 +312,9 @@ def main() -> int:
     def best_of_2(threads: int, collect_metrics: bool = True) -> dict:
         a = run_pipeline_once(threads, fixtures_path, n_rows, collect_metrics)
         b = run_pipeline_once(threads, fixtures_path, n_rows, collect_metrics)
-        return a if a["turns_per_sec"] >= b["turns_per_sec"] else b
+        best = dict(a if a["turns_per_sec"] >= b["turns_per_sec"] else b)
+        best["raw_legs"] = [a, b]
+        return best
 
     pipe_low = best_of_2(LOW_CPUS)
     # The ON-vs-OFF overhead comparison INTERLEAVES its legs (ON, OFF, ON,
@@ -328,7 +330,14 @@ def main() -> int:
     pipe_eff = (
         pipe_high["turns_per_sec"] / pipe_low["turns_per_sec"]
     ) / (CPUS / LOW_CPUS)
-    stream = run_streaming_once(CPUS, fixtures_path, n_rows)
+    # Streaming leg uses the same best-of-2 protocol as every batch leg
+    # (r4 recorded a single cold streaming run 41% under the same-day
+    # clean number — one sample cannot distinguish regression from the
+    # host's documented writeback swings). Raw legs are recorded so the
+    # artifact shows the spread, not just the max.
+    stream_a = run_streaming_once(CPUS, fixtures_path, n_rows)
+    stream_b = run_streaming_once(CPUS, fixtures_path, n_rows)
+    stream = max(stream_a, stream_b, key=lambda r: r["turns_per_sec"])
 
     result = {
         "metric": "parsed+routed turns/sec (full pipeline at local[CPUS]; "
@@ -357,6 +366,13 @@ def main() -> int:
                 "low": pipe_low,
                 "high": pipe_high,
                 "metrics_off_control": pipe_nometrics,
+                # raw interleaved legs (ON, OFF, ON, OFF order) — the
+                # headline is max(on legs); publishing all four makes a
+                # noisy session visible in the artifact itself
+                "raw_legs": {
+                    "on": [on_a, on_b],
+                    "off": [off_a, off_b],
+                },
                 "speedup": round(
                     pipe_high["turns_per_sec"] / pipe_low["turns_per_sec"], 3
                 ),
@@ -368,6 +384,13 @@ def main() -> int:
                 "ON) — the daemon shape",
                 "n_turns": n_rows,
                 "run": stream,
+                "raw_legs": [stream_a, stream_b],
+                "pct_of_batch": round(
+                    100.0
+                    * stream["turns_per_sec"]
+                    / pipe_high["turns_per_sec"],
+                    1,
+                ),
             },
         },
     }

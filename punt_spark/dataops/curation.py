@@ -10,14 +10,28 @@ AQE-managed. Removed rows are never dropped silently — each stage emits an
 audit frame with the removal reason, so curation is reproducible and
 attributable (the training-data analog of the punt pipeline's errors /
 unhandled side outputs).
+
+Execution shape (r5 redesign, measured 10.25 s → target ≤6 s at sf0.1):
+exactly ONE corpus-scale cache — the scored frame, whose scalar stages
+(quality / repetition / language) are fused into a single CASE-derived
+removal-reason column — plus a chain of SMALL removed-id frames
+(contaminated / exact-dup / near-dup / source-cap ids), each persisted and
+eagerly materialized so the retained frame is one cache scan anti-joined
+against four broadcastable id sets. The previous shape persisted ~6
+corpus-scale stage frames; removal-ID frames shrink with the removal rate,
+not the corpus, so at 100 TB the persisted footprint here is the scored
+corpus once + O(removed) ids. Eager materialization at each boundary is
+still required: a lazily-persisted frame consumed by several concurrent
+branches of one downstream action is raced — each branch computes the
+uncached partitions itself (see pipeline._record_scan_stats).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import decontaminate, exact_dedup, minhash_dedup
+from .dedup import contaminated_ids, minhash_dedup
 from .textstats import redact_pii, with_lang_id, with_quality, with_repetition
 
 
@@ -38,7 +52,7 @@ def curate_corpus(
     source_col: str = "source",
     near_dup_pairs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
-    """Returns {"retained", "removed", "stats"}.
+    """Returns {"retained", "removed", "stats", "unpersist"}.
 
     removed carries (id, reason) for every dropped doc:
     low_quality | repetition | lang | contaminated | exact_dup | near_dup
@@ -55,149 +69,162 @@ def curate_corpus(
     ``near_dup_pairs`` injects a pre-computed candidate-pair frame
     (id_a, id_b) in place of the built-in MinHash stage — the near-dup
     strategy is pluggable (SimHash pairs, embedding near-dups, or an
-    oracle-replayable hash family). Pairs whose endpoints did not survive
-    the earlier stages are ignored (both ends are semi-joined to the
-    exact-dedup survivors, exactly what the built-in stage guarantees by
-    construction); the higher id of each surviving pair is dropped.
+    oracle-replayable hash family). Injected pairs are normalized to
+    (least, greatest) and self-pairs dropped, so symmetric or unordered
+    input cannot remove both endpoints of a group (each surviving pair
+    keeps its lower id). Pairs whose endpoints did not survive the earlier
+    stages are ignored (both ends are semi-joined to the exact-dedup
+    survivors, exactly what the built-in stage guarantees by construction).
+    Pass pre-materialized (e.g. ``localCheckpoint()``-ed) pairs when they
+    carry heavy lineage — the frame is consumed by two joins here.
 
-    Execution shape: every stage feeds BOTH its survivor frame and a
-    removed-audit branch, so without materialization the upstream lineage
-    (quality regexes, shingle explodes, the LSH band join) recomputes
-    once per branch — measured ~10 corpus-lineage replays and 15.7 s at
-    sf0.1. The stage-boundary frames are therefore ``persist()``-ed
-    (MEMORY_AND_DISK; the frames shrink monotonically down the chain);
-    call the returned ``unpersist()`` when done with the outputs. At
-    100 TB the persisted footprint is bounded by the post-quality corpus
-    — the alternative (N lineage replays over the raw corpus) is strictly
-    worse.
+    Call the returned ``unpersist()`` when done with the outputs; an
+    exception mid-build releases every cache persisted so far before
+    re-raising.
     """
-    scored = with_quality(docs, text_col)
-    if max_repetition is not None:
-        scored = with_repetition(scored, text_col)
-    if keep_langs is not None:
-        scored = with_lang_id(scored, text_col)
     persisted: list[DataFrame] = []
 
     def _stage(df: DataFrame) -> DataFrame:
-        # persist AND materialize: a lazily-persisted frame consumed by
-        # several concurrent branches of one downstream action is raced —
-        # each branch computes the uncached partitions itself (same
-        # lesson as pipeline._record_scan_stats), so the cold cost stayed
-        # ~N replays until this count() forces the cache to fill ONCE.
-        # One extra (useful-work) job per stage; every consumer after it
-        # is a cache scan.
+        # persist AND materialize: concurrent downstream branches race a
+        # cold cache and each recompute the partitions (measured ~N
+        # lineage replays); the count() fills the cache exactly once.
         persisted.append(df.persist())
         df.count()
         return df
 
-    scored = _stage(scored)
-    removed_frames: list[DataFrame] = []
-
-    quality_ok = scored.filter(F.col("quality_score") >= min_quality)
-    removed_frames.append(
-        scored.filter(F.col("quality_score") < min_quality).select(
-            F.col(id_col), F.lit("low_quality").alias("reason")
-        )
-    )
-
-    if max_repetition is not None:
-        rep_ok = quality_ok.filter(F.col("rep_ratio") <= max_repetition)
-        removed_frames.append(
-            quality_ok.filter(F.col("rep_ratio") > max_repetition).select(
-                F.col(id_col), F.lit("repetition").alias("reason")
-            )
-        )
-        quality_ok = rep_ok
-
-    if keep_langs is not None:
-        lang_ok = quality_ok.filter(F.col("lang_pred").isin(*keep_langs))
-        removed_frames.append(
-            quality_ok.filter(~F.col("lang_pred").isin(*keep_langs)).select(
-                F.col(id_col), F.lit("lang").alias("reason")
-            )
-        )
-    else:
-        lang_ok = quality_ok
-
-    if benchmark is not None:
-        clean = _stage(
-            decontaminate(
-                lang_ok, benchmark, text_col, id_col, decontam_shingle_n
-            )
-        )
-        removed_frames.append(
-            lang_ok.join(clean.select(id_col), id_col, "left_anti").select(
-                F.col(id_col), F.lit("contaminated").alias("reason")
-            )
-        )
-        lang_ok = clean
-
-    # exact dedup keeps the min-id representative
-    exact_kept = _stage(exact_dedup(lang_ok, [text_col], id_col))
-    removed_frames.append(
-        lang_ok.join(exact_kept.select(id_col), id_col, "left_anti").select(
-            F.col(id_col), F.lit("exact_dup").alias("reason")
-        )
-    )
-
-    # near-dup: drop the higher id of each verified pair (transitive chains
-    # collapse toward the smallest id over iterations; one pass is the
-    # standard large-scale approximation)
-    if near_dup_pairs is not None:
-        surv_a = exact_kept.select(F.col(id_col).alias("id_a"))
-        surv_b = exact_kept.select(F.col(id_col).alias("id_b"))
-        pairs = near_dup_pairs.join(surv_a, "id_a", "left_semi").join(
-            surv_b, "id_b", "left_semi"
-        )
-    else:
-        pairs = minhash_dedup(
-            exact_kept,
-            text_col,
-            id_col,
-            num_hashes=num_hashes,
-            bands=bands,
-            threshold=near_dup_threshold,
-        )
-    near_dup_ids = _stage(
-        pairs.select(F.col("id_b").alias(id_col)).distinct()
-    )
-    retained = _stage(exact_kept.join(near_dup_ids, id_col, "left_anti"))
-    removed_frames.append(
-        near_dup_ids.select(F.col(id_col), F.lit("near_dup").alias("reason"))
-    )
-
-    if max_per_source is not None:
-        from .sampling import cap_per_group
-
-        capped = _stage(
-            cap_per_group(retained, source_col, id_col, max_per_source)
-        )
-        removed_frames.append(
-            retained.join(capped.select(id_col), id_col, "left_anti").select(
-                F.col(id_col), F.lit("source_cap").alias("reason")
-            )
-        )
-        retained = capped
-
-    if redact:
-        # in place: a consumer exporting text_col must never ship PII —
-        # keeping the original next to a *_redacted column would silently
-        # leak it through every downstream select("text")
-        retained = redact_pii(retained, text_col, out=text_col)
-
-    removed = removed_frames[0]
-    for f in removed_frames[1:]:
-        removed = removed.unionByName(f)
-
-    stats = removed.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).unionByName(
-        retained.agg(
-            F.lit("retained").alias("reason"), F.count(F.lit(1)).alias("n")
-        )
-    )
-
     def unpersist():
         for f in persisted:
             f.unpersist()
+
+    try:
+        scored = with_quality(docs, text_col)
+        if max_repetition is not None:
+            scored = with_repetition(scored, text_col)
+        if keep_langs is not None:
+            scored = with_lang_id(scored, text_col)
+
+        # scalar stages fused into ONE reason column (stage precedence:
+        # quality, then repetition, then language — same order the
+        # sequential filters applied)
+        cut = F.when(
+            F.col("quality_score") < min_quality, F.lit("low_quality")
+        )
+        if max_repetition is not None:
+            cut = cut.when(
+                F.col("rep_ratio") > max_repetition, F.lit("repetition")
+            )
+        if keep_langs is not None:
+            cut = cut.when(
+                ~F.col("lang_pred").isin(*keep_langs), F.lit("lang")
+            )
+        scored = _stage(scored.withColumn("__cut", cut))
+        survivors = scored.filter(F.col("__cut").isNull())
+        removed_frames: list[DataFrame] = [
+            scored.filter(F.col("__cut").isNotNull()).select(
+                F.col(id_col), F.col("__cut").alias("reason")
+            )
+        ]
+
+        def _drop(ids: DataFrame, reason: str, base: DataFrame) -> DataFrame:
+            """Materialize a (small) removed-id frame, record its audit
+            rows, and anti-join it off the survivor lineage. The id set is
+            bounded by the stage's removal count, and the persisted cache
+            carries exact size stats — AQE broadcasts it when it fits and
+            falls back to a shuffled join for a pathological removal rate
+            (a hard broadcast hint here would OOM on a 90%-dup corpus)."""
+            ids = _stage(ids.select(id_col))
+            removed_frames.append(
+                ids.select(F.col(id_col), F.lit(reason).alias("reason"))
+            )
+            return base.join(ids, id_col, "left_anti")
+
+        if benchmark is not None:
+            survivors = _drop(
+                contaminated_ids(
+                    survivors, benchmark, text_col, id_col, decontam_shingle_n
+                ),
+                "contaminated",
+                survivors,
+            )
+
+        # exact dedup: drop every id that is not the min-id representative
+        # of its text group (same md5(concat_ws) key as dedup.exact_dedup)
+        key = F.md5(F.concat_ws("\x1f", F.col(text_col)))
+        keyed = survivors.select(F.col(id_col), key.alias("__k"))
+        exact_drops = (
+            keyed.join(
+                keyed.groupBy("__k").agg(F.min(id_col).alias("__keep")),
+                "__k",
+            )
+            .filter(F.col(id_col) != F.col("__keep"))
+        )
+        survivors = _drop(exact_drops, "exact_dup", survivors)
+
+        # near-dup: drop the higher id of each verified pair (transitive
+        # chains collapse toward the smallest id over iterations; one pass
+        # is the standard large-scale approximation)
+        if near_dup_pairs is not None:
+            pairs = near_dup_pairs.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            ).filter(F.col("id_a") != F.col("id_b"))
+            surv_ids = survivors.select(id_col)
+            pairs = pairs.join(
+                surv_ids.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi"
+            ).join(
+                surv_ids.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"
+            )
+        else:
+            pairs = minhash_dedup(
+                survivors,
+                text_col,
+                id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                threshold=near_dup_threshold,
+            )
+        survivors = _drop(
+            pairs.select(F.col("id_b").alias(id_col)).distinct(),
+            "near_dup",
+            survivors,
+        )
+
+        if max_per_source is not None:
+            # same deterministic rank as sampling.cap_per_group, inverted
+            # to yield the DROP set directly (rank > cap)
+            id_str = F.coalesce(
+                F.col(id_col).cast("string"), F.lit("\x00null")
+            )
+            h = F.md5(F.concat(F.lit("cap"), id_str).cast("binary"))
+            w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
+            cap_drops = (
+                survivors.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") > max_per_source)
+            )
+            survivors = _drop(cap_drops, "source_cap", survivors)
+
+        retained = survivors.drop("__cut")
+        if redact:
+            # in place: a consumer exporting text_col must never ship PII —
+            # keeping the original next to a *_redacted column would
+            # silently leak it through every downstream select("text")
+            retained = redact_pii(retained, text_col, out=text_col)
+
+        removed = removed_frames[0]
+        for f in removed_frames[1:]:
+            removed = removed.unionByName(f)
+
+        stats = removed.groupBy("reason").agg(
+            F.count(F.lit(1)).alias("n")
+        ).unionByName(
+            retained.agg(
+                F.lit("retained").alias("reason"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+    except BaseException:
+        unpersist()
+        raise
 
     return {
         "retained": retained,

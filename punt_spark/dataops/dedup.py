@@ -269,6 +269,23 @@ def decontaminate(
     (benchmarks are thousands of docs, corpora are billions) — the
     left_anti join broadcasts it, so the corpus never shuffles. The
     corpus-side shingle explode is map-side only."""
+    return df.join(
+        contaminated_ids(df, benchmark, text_col, id_col, shingle_n),
+        id_col,
+        "left_anti",
+    )
+
+
+def contaminated_ids(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """The id set ``decontaminate`` removes — exposed separately so audit
+    consumers (curation's removed-reason trail) get the small id frame
+    directly instead of re-deriving it with a corpus anti-join."""
     bench_shingles = (
         with_shingles(benchmark, text_col, shingle_n)
         .select(F.explode("shingles").alias("s"))
@@ -277,12 +294,11 @@ def decontaminate(
     doc_shingles = with_shingles(df, text_col, shingle_n).select(
         F.col(id_col), F.explode(F.array_distinct("shingles")).alias("s")
     )
-    contaminated = (
+    return (
         doc_shingles.join(F.broadcast(bench_shingles), "s", "left_semi")
         .select(id_col)
         .distinct()
     )
-    return df.join(contaminated, id_col, "left_anti")
 
 
 # --- SimHash -------------------------------------------------------------------
@@ -614,10 +630,17 @@ def incremental_dedup(
     same normalization) or, the production path, a fingerprint table —
     name its column via ``history_fp_col``. Within-batch duplicates keep
     the min-id representative first, so the result is dup-free against
-    BOTH the history and itself. Shape: one groupBy on the batch (small)
-    + one anti-join whose build side is the batch — the history side
-    streams; at scale, bucket the fingerprint table on the fingerprint
-    so the join co-locates without a shuffle of the index."""
+    BOTH the history and itself.
+
+    Shape: one groupBy on the batch (small), then a two-step exclusion
+    keeping the HISTORY map-side only — a naive ``batch LEFT ANTI
+    history`` would make the huge history the hash-join BUILD side (Spark
+    builds the right side of a left anti join) or shuffle-sort it:
+    instead the batch's distinct fingerprints BROADCAST into a left_semi
+    over the history (history streams, never shuffles; with the index
+    bucketed/sorted on the fingerprint the scan also prunes), producing
+    the ≤|batch| set of already-seen fingerprints, which then anti-joins
+    the batch as a small broadcast."""
     fp = _norm_fingerprint(text_col)
     b = new_df.withColumn("__fp", fp)
     keep = b.groupBy("__fp").agg(F.min(id_col).alias(id_col))
@@ -628,4 +651,8 @@ def incremental_dedup(
         hist = history.select(F.col(history_fp_col).alias("__fp"))
     else:
         hist = history.select(_norm_fingerprint(text_col).alias("__fp"))
-    return batch.join(hist, "__fp", "left_anti").drop("__fp")
+    seen = (
+        hist.join(F.broadcast(batch.select("__fp")), "__fp", "left_semi")
+        .distinct()
+    )
+    return batch.join(F.broadcast(seen), "__fp", "left_anti").drop("__fp")

@@ -820,6 +820,7 @@ def test_curate_corpus_synthetic(spark):
     assert stats["retained"] == 2
     # accounting is total: every doc is retained or removed exactly once
     assert sum(stats.values()) == len(rows)
+    out["unpersist"]()
 
 
 def test_curate_corpus_full_stages(spark):
@@ -853,6 +854,7 @@ def test_curate_corpus_full_stages(spark):
     assert "<EMAIL>" in red[0] and "a@b.io" not in red[0]
     stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
     assert sum(stats.values()) == len(rows)
+    out["unpersist"]()
 
 
 def test_dataops_on_real_documents_table(spark):
@@ -872,6 +874,7 @@ def test_dataops_on_real_documents_table(spark):
     stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
     assert sum(stats.values()) == n
     assert stats.get("retained", 0) > 0
+    out["unpersist"]()
 
 
 def test_dup_clusters_transitive(spark):
@@ -987,6 +990,31 @@ def test_curate_corpus_source_cap(spark):
     assert list(removed.values()).count("source_cap") == 4
     stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
     assert sum(stats.values()) == len(rows)  # accounting stays total
+    out["unpersist"]()
+
+
+def test_curate_corpus_symmetric_injected_pairs(spark):
+    """Injected near-dup pairs are normalized to (least, greatest): a
+    SYMMETRIC pair list — both (a,b) and (b,a) — must still retain the
+    lower id of the group, not remove both endpoints; self-pairs are
+    ignored."""
+    from punt_spark.dataops.curation import curate_corpus
+
+    rows = [
+        (0, "clean useful distinct document number zero with informative words"),
+        (1, "clean useful distinct document number one with informative words"),
+        (2, "completely different text about spark adaptive query execution"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 2)], "id_a long, id_b long"
+    )
+    out = curate_corpus(docs, min_quality=0.0, near_dup_pairs=pairs)
+    retained = {r["doc_id"] for r in out["retained"].select("doc_id").collect()}
+    assert retained == {0, 2}
+    removed = {r["doc_id"]: r["reason"] for r in out["removed"].collect()}
+    assert removed == {1: "near_dup"}
+    out["unpersist"]()
 
 
 def test_pack_sequences(spark):
@@ -1249,3 +1277,93 @@ def test_token_frequencies(spark):
     out = {r["token"]: (r["count"], r["doc_freq"])
            for r in token_frequencies(df).collect()}
     assert out == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+
+def test_dedup_ingest_loop_multi_batch(spark, tmp_path):
+    """D32 production loop: 3 batches with overlapping dupes ingested
+    through the persistent fingerprint index — cross-batch dupes dropped,
+    within-batch dupes keep the min id, and the accepted corpus equals a
+    one-shot dedup of the concatenated batches."""
+    from punt_spark.dataops.ingest import DedupIngestor
+    from punt_spark.sink import SnapshotTable
+
+    ing = DedupIngestor(
+        SnapshotTable(str(tmp_path / "corpus")),
+        SnapshotTable(str(tmp_path / "fp_index")),
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    b3 = spark.createDataFrame(
+        [(20, "epsilon zeta"), (21, "eta theta"), (22, "gamma delta")],
+        "doc_id long, text string",
+    )
+    r1 = ing.ingest(b1, "b-001")
+    r2 = ing.ingest(b2, "b-002")
+    r3 = ing.ingest(b3, "b-003")
+    assert (r1["accepted"], r2["accepted"], r3["accepted"]) == (2, 1, 1)
+    corpus = {
+        r["doc_id"] for r in ing.data.read(spark).select("doc_id").collect()
+    }
+    assert corpus == {1, 2, 11, 21}
+    # re-delivery of a completed batch is a no-op (exactly-once)
+    again = ing.ingest(b2, "b-002")
+    assert again["skipped"] and ing.data.read(spark).count() == 4
+
+
+def test_dedup_ingest_crash_between_data_and_index(spark, tmp_path):
+    """Crash AFTER the data commit but BEFORE the index append: the retry
+    must neither lose the batch (self-dedup against its own fingerprints)
+    nor double-drop; the final state matches the no-crash run exactly."""
+    from punt_spark.dataops.ingest import DedupIngestor
+    from punt_spark.sink import SnapshotTable
+
+    ing = DedupIngestor(
+        SnapshotTable(str(tmp_path / "corpus")),
+        SnapshotTable(str(tmp_path / "fp_index")),
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta"), (12, "epsilon zeta")],
+        "doc_id long, text string",
+    )
+    assert ing.ingest(b1, "b-001")["accepted"] == 2
+
+    # inject the crash: index.commit raises once, after data committed
+    real_commit = ing.index.commit
+    calls = {"n": 0}
+
+    def failing_commit(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before index append")
+
+    ing.index.commit = failing_commit
+    try:
+        ing.ingest(b2, "b-002")
+    except RuntimeError:
+        pass
+    ing.index.commit = real_commit
+    assert calls["n"] == 1
+    # data snapshot landed, index marker did not → batch is NOT done
+    assert ing.data.has_snapshot("b-002")
+    assert not ing.index.has_snapshot("b-002")
+
+    # retry: same accepted set, no loss (11 survives), no double-drop
+    r = ing.ingest(b2, "b-002")
+    assert r["skipped"] is False and r["accepted"] == 1
+    corpus = {
+        r["doc_id"] for r in ing.data.read(spark).select("doc_id").collect()
+    }
+    assert corpus == {1, 2, 11}
+    # index now covers every accepted doc: a later dup of 11 is dropped
+    b3 = spark.createDataFrame(
+        [(30, "epsilon zeta")], "doc_id long, text string"
+    )
+    assert ing.ingest(b3, "b-003")["accepted"] == 0
