@@ -724,12 +724,14 @@ def q_embedding_quantize(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = quantize_embeddings(e, out="qv")
+    # codes are array<tinyint> (the real 4× storage win); the digest
+    # columns widen to bigint to match the oracle's BIGINT casts
     return q.select(
         "vec_id",
         F.round("qv_scale", 6).alias("scale_r"),
         F.expr("aggregate(qv, 0L, (acc, x) -> acc + x)").alias("q_sum"),
-        F.array_min("qv").alias("q_min"),
-        F.array_max("qv").alias("q_max"),
+        F.array_min("qv").cast("long").alias("q_min"),
+        F.array_max("qv").cast("long").alias("q_max"),
     )
 
 

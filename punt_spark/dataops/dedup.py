@@ -122,7 +122,19 @@ def lsh_candidate_pairs(
     Buckets larger than ``max_bucket`` are dropped (boilerplate guard): at
     web scale one viral template otherwise creates a quadratic bucket.
     """
-    banded = sig_df.select(
+    banded = _banded(sig_df, id_col, bands)
+    bucket_counts = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ok_buckets = bucket_counts.filter(F.col("__n") <= max_bucket).drop("__n")
+    pruned = banded.join(ok_buckets, ["band_idx", "band_hash"], "left_semi")
+    return _bucket_join(pruned, id_col).distinct()
+
+
+def _banded(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band_idx, band_hash) — the signature sliced into ``bands``
+    equal chunks, each hashed to its LSH bucket key."""
+    return sig_df.select(
         id_col,
         F.posexplode(
             F.expr(
@@ -133,11 +145,15 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    bucket_counts = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    ok_buckets = bucket_counts.filter(F.col("__n") <= max_bucket).drop("__n")
-    pruned = banded.join(ok_buckets, ["band_idx", "band_hash"], "left_semi")
+
+
+def _bucket_join(pruned: DataFrame, id_col: str) -> DataFrame:
+    """The capped bucket self-join (pre-dedup): pairs (a < b) within each
+    surviving (band_idx, band_hash) bucket. Exposed for the skew tests,
+    which assert per-task balance on THIS join's output — a bucket sitting
+    exactly at the ``max_bucket`` boundary is the worst surviving case
+    (O(max_bucket²) pairs on one join key) and is what AQE's skew-join
+    split must carve up."""
     a = pruned.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
@@ -148,7 +164,6 @@ def lsh_candidate_pairs(
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
 
 

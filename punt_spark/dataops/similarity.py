@@ -309,19 +309,24 @@ def quantize_embeddings(
     ``round`` halves differ: Spark HALF_UP vs DuckDB HALF_EVEN). The
     per-row scale rides along in ``<out>_scale``; a zero vector quantizes
     to zeros with scale 0. Reconstruction error per element ≤ scale/(2L).
-    Shape: zero shuffles, pure per-row array exprs."""
+    Shape: zero shuffles, pure per-row array exprs. The codes are emitted
+    at the NARROW integer width the bit budget needs — array<tinyint> for
+    bits ≤ 8, array<smallint> for ≤ 16 — so the stored/shuffled bytes
+    actually shrink by the advertised factor (a bigint code array would be
+    twice the size of the float32 input it claims to compress)."""
     if not 2 <= bits <= 16:
         raise ValueError(f"bits must be in [2, 16], got {bits}")
     levels = (1 << (bits - 1)) - 1
+    width = "tinyint" if bits <= 8 else "smallint"
     d = df.withColumn("__v", F.col(vec_col).cast("array<double>"))
     d = d.withColumn(
         "__scale",
         F.expr("aggregate(__v, 0D, (acc, x) -> greatest(acc, abs(x)))"),
     )
     q = F.expr(
-        f"CASE WHEN __scale = 0D THEN transform(__v, x -> 0L) "
-        f"ELSE transform(__v, x -> cast(floor(x * {levels}D / __scale + 0.5D)"
-        f" as bigint)) END"
+        f"CASE WHEN __scale = 0D THEN transform(__v, x -> cast(0 as {width}))"
+        f" ELSE transform(__v, x -> cast(floor(x * {levels}D / __scale + 0.5D)"
+        f" as {width})) END"
     )
     return (
         d.withColumn(out, q)
@@ -351,3 +356,36 @@ def quantized_cosine_topk(
         F.col(query_id_col), F.col("__q").cast("array<double>").alias(vec_col)
     )
     return cosine_topk(qv, qq, k, vec_col, id_col, query_id_col)
+
+
+def ivf_topk_quantized(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    bits: int = 8,
+) -> DataFrame:
+    """IVF search over int8-quantized codes — D8 (IVF) composed with D28
+    (quantization), the full 100 TB scale path: candidates scanned ≈
+    nprobe/n_cells of the corpus AND each candidate is ``bits``-wide
+    integer codes instead of float64 (4× less scanned per probed cell at
+    int8 vs float32; 8× vs float64). The per-vector scale cancels in
+    cosine, so ranking is cosine over the raw codes; the codes stay at
+    tinyint width through the cell join and only widen to double inside
+    the per-row dot product. Recall loss = IVF cell misses + a bounded
+    quantization ranking perturbation (pytest pins recall@5 ≥ 0.9 against
+    exact search on the clustered fixture)."""
+    qv = quantize_embeddings(vectors, vec_col, out="__q", bits=bits).select(
+        F.col(id_col), F.col("__q").alias(vec_col)
+    )
+    qq = quantize_embeddings(queries, vec_col, out="__q", bits=bits).select(
+        F.col(query_id_col), F.col("__q").alias(vec_col)
+    )
+    return ivf_topk(
+        qv, qq, k, n_cells, nprobe, vec_col, id_col, query_id_col, seed
+    )

@@ -453,10 +453,24 @@ class SnapshotTable:
             if max(per_dir.values()) <= 1:
                 continue  # already one file per partition value
             part_cols = [c for c in m.get("partition_cols", []) if c]
-            df = (
-                spark.read.option("basePath", self.data_dir)
-                .parquet(*files)
-            )
+            # Partition values are STRINGS by table contract; the
+            # punt_spark session factory disables inference globally, but
+            # compaction must be safe from ANY session: with inference on,
+            # a numeric-looking value (route_key=00123) would be read as
+            # int and REWRITTEN as route_key=123 — silently renaming the
+            # partition directory and breaking prefix-based retention.
+            # Inference happens eagerly at DataFrame creation, so a
+            # set/restore around the read pins it.
+            inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+            saved_inf = spark.conf.get(inf_key)
+            spark.conf.set(inf_key, "false")
+            try:
+                df = (
+                    spark.read.option("basePath", self.data_dir)
+                    .parquet(*files)
+                )
+            finally:
+                spark.conf.set(inf_key, saved_inf)
             df = df.drop(*[c for c in ("batch",) if c in df.columns])
             gen = 0
             while os.path.exists(

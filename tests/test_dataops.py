@@ -1367,3 +1367,35 @@ def test_dedup_ingest_crash_between_data_and_index(spark, tmp_path):
         [(30, "epsilon zeta")], "doc_id long, text string"
     )
     assert ing.ingest(b3, "b-003")["accepted"] == 0
+
+
+def test_quantize_codes_are_narrow(vectors):
+    """The advertised 4× shrink must be real on the wire: int8 codes are
+    array<tinyint> (1 byte/element), 16-bit codes array<smallint> — not
+    bigint arrays larger than the float input they compress."""
+    from pyspark.sql.types import ByteType, ShortType
+
+    df, _ = vectors
+    q8 = similarity.quantize_embeddings(df, out="q")
+    assert q8.schema["q"].dataType.elementType == ByteType()
+    q12 = similarity.quantize_embeddings(df, out="q", bits=12)
+    assert q12.schema["q"].dataType.elementType == ShortType()
+
+
+def test_ivf_topk_quantized_recall(vectors):
+    """D8+D28 composition: IVF probing over int8 codes — recall@5 ≥ 0.9
+    vs exact float search with nprobe=2 of 4 cells, while scanning
+    tinyint codes instead of float64 vectors inside each probed cell."""
+    df, pdf = vectors
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk_quantized(
+        df, queries, k=5, n_cells=4, nprobe=2
+    ).toPandas()
+    want = _np_topk(pdf, range(5), 5)
+    hits = sum(
+        len(set(got[got.query_id == q]["vec_id"]) & set(want[q]))
+        for q in range(5)
+    )
+    assert hits / 25 >= 0.9

@@ -577,3 +577,88 @@ def test_streaming_pipeline_ingest_dedup(spark, transcripts, tmp_path):
         n_d = d.count() if d is not None else 0
         n_p = p.count() if p is not None else 0
         assert n_p == 2 * n_d, t.sink_name  # duplicates suppressed exactly
+
+
+def test_alert_window_straddling_micro_batch_boundary(spark, tmp_path):
+    """Pins BOTH documented alert-window semantics on one fixture whose
+    2-second rollup window straddles a micro-batch boundary:
+
+    * the foreachBatch pipeline rolls windows PER BATCH (the reference's
+      arrival-split wall-clock behavior, alert.go:50-65) — the straddling
+      window SPLITS into one row per micro-batch, total events preserved;
+    * the watermarked event-time path (``streaming_alert_counts``) merges
+      the same events into ONE window row regardless of batch boundaries.
+    """
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    src = str(tmp_path / "straddle_in")
+    _os.makedirs(src)
+
+    def write_one(fname, second):
+        # both events land in the SAME epoch-aligned 2 s event-time window
+        # [04:00:32, 04:00:34): envelope ts comes from the syslog line
+        # double space after the tag colon: the parser consumes one, so
+        # content starts " magic …" and the default alert regex matches
+        line = f"<13>Mar 14 04:00:3{second} h1 logs:  magic boundary event"
+        pdf = pd.DataFrame(
+            {
+                "conv_id": ["c1"],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": [line],
+                "tool": ["none"],
+                "ts": pd.to_datetime(["2017-03-14 04:00:00"]).astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(_os.path.join(src, fname))
+
+    write_one("b1", 2)
+    _time.sleep(1.1)  # file source orders batches by mod time
+    write_one("b2", 3)
+
+    s = StreamingPipeline(
+        spark, default_config(), out_dir=str(tmp_path / "straddle_out")
+    )
+    s.run_available_now(src + "/*", max_files_per_trigger=1)
+    alerts = s.alerts_table.read(spark).collect()
+    # per-batch rollup: the one event-time window appears ONCE PER BATCH
+    assert len(alerts) == 2
+    assert {r["n_events"] for r in alerts} == {1}
+    assert len({str(r["window_start"]) for r in alerts}) == 1  # same window
+    assert sum(r["n_events"] for r in alerts) == 2  # nothing lost
+
+    # event-time path over the SAME files: one merged window row
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    from punt_spark.parse import with_parsed
+
+    parsed = with_parsed(stream, "text", 2017).select(
+        F.col("parsed.content").alias("content"),
+        F.col("parsed.ts").alias("ts"),
+    )
+    agg = streaming_alert_counts(
+        parsed, match="magic", window_sec=2, source_field="content"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("straddle_merged")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = spark.sql("select * from straddle_merged").collect()
+    assert len(merged) == 1 and merged[0]["n_events"] == 2

@@ -675,3 +675,41 @@ def test_alert_rollup_tie_break_deterministic(spark):
         assert row["description"] == "D h1"  # same event, not a column mix
         assert row["field_h"] == "h1"
         assert row["n_events"] == 3
+
+
+def test_compaction_preserves_numeric_looking_partition_values(spark, tmp_path):
+    """Compaction must re-publish byte-identical partition directory names
+    even in a session with partition-type inference ENABLED: a
+    numeric-looking route_key (00123) read back as int would be rewritten
+    as route_key=123, silently renaming the partition and breaking
+    prefix-based retention matching."""
+    import glob
+    import os
+
+    from punt_spark.sink import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "numpart_tbl"))
+    df = spark.createDataFrame(
+        [(f"c{i}", i, "00123", "0042") for i in range(12)],
+        "conv_id string, turn_idx int, route_key string, ts_day string",
+    )
+    tbl.commit(df.repartition(6), "s1")
+    inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    saved = spark.conf.get(inf_key)
+    spark.conf.set(inf_key, "true")  # hostile session config
+    try:
+        res = tbl.compact_snapshots(spark)
+    finally:
+        spark.conf.set(inf_key, saved)
+    assert res["s1"]["files_after"] < res["s1"]["files_before"]
+    dirs = {
+        seg
+        for f in glob.glob(
+            os.path.join(tbl.data_dir, "**", "*.parquet"), recursive=True
+        )
+        for seg in f.split(os.sep)
+        if seg.startswith("route_key=") or seg.startswith("ts_day=")
+    }
+    assert dirs == {"route_key=00123", "ts_day=0042"}
+    rows = tbl.read(spark).select("route_key", "ts_day").distinct().collect()
+    assert [(r["route_key"], r["ts_day"]) for r in rows] == [("00123", "0042")]
