@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""sf1 validation: does every expensive path stay ~linear at 10× input?
+
+Two legs, per VERDICT r4 item #4:
+
+* **Full pipeline** (parse → route → transform → enrich → 5-sink fan-out,
+  metrics ON) at 2.4M vs 24M turns — the sustained-scale check with the
+  complete job, not just the parsed+routed core.
+* **The most expensive driver queries** at 1× vs 10× of their input
+  tables. The driver ships sf0.1 tables only, so both sides run on a
+  DETERMINISTIC synthetic twin generated here (same vocabulary — sampled
+  from the real sf0.1 documents — same 20-source uniform mix, same lang
+  mix, same exact-dup rate; events keep the fixed 30-day span with rows
+  and users scaling 10×, mirroring the real sf0.01→sf0.1 behavior). The
+  ratio is apples-to-apples within one generator; the absolute sf0.1
+  timings next to it come from the regular bench.
+
+Prints one JSON document: per-query wall times at both scales and the
+cost ratio (≤ ~10 at 10× rows = linear; the time-windowed aggregations
+can read BELOW 10 because their group count is span-bound, and the
+banded dedup paths slightly above linear is acceptable — anything
+super-linear by 2× would flag here first).
+
+Run: python scripts/sf1_validate.py   (~10-15 min; honors SPARK_GRAFT_CPUS)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.environ.get("PUNT_BENCH_CACHE", "/tmp/punt_spark_bench")
+REAL_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+QUERIES = [
+    "curate_corpus",
+    "dup_clusters",
+    "dedup_minhash_pairs",
+    "decontaminate",
+    "idf_score",
+    "route_counts",
+    "window_rollup",
+]
+
+
+def _vocab_from_real() -> list[str]:
+    import duckdb
+
+    con = duckdb.connect()
+    words = con.execute(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM "
+        f"'{REAL_SF_DIR}/documents.parquet' ORDER BY w"
+    ).fetchall()
+    return [w[0] for w in words if w[0]]
+
+
+def gen_documents(out_dir: str, n: int, seed: int = 11) -> str:
+    """Synthetic twin of the driver's documents table at row count n."""
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_vocab_from_real())
+    n_words = rng.integers(8, 95, n)
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
+    ]
+    # exact-dup rate ≈ the real table's (8 per 5000)
+    for i in range(625, n, 625):
+        texts[i] = texts[i - 1]
+    langs = rng.choice(
+        ["en", "de", "zh", "fr", "es"], n, p=[0.41, 0.1475, 0.1475, 0.1475, 0.1475]
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "source": [f"src{i % 20}" for i in range(n)],
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len().astype(np.int64)
+    pdf.to_parquet(path, index=False)
+    return path
+
+
+def gen_events(out_dir: str, n: int, seed: int = 12) -> str:
+    """Synthetic twin of the events table: fixed 30-day span, rows and
+    users scale together (matches the real sf0.01→sf0.1 ratio)."""
+    path = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    span = 30 * 86400
+    ts = (
+        pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.sort(rng.uniform(0, span, n)), unit="s")
+    ).astype("datetime64[us]")
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": rng.integers(0, max(150, n // 66), n),
+            "event_type": rng.choice(
+                ["click", "view", "purchase", "signup", "error"], n
+            ),
+            "value": np.round(rng.uniform(0, 200, n), 2),
+            "props": [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n)],
+        }
+    )
+    pdf.to_parquet(path, index=False)
+    return path
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    qs["route_counts"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    out = {}
+    for name in QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 2)
+    return out
+
+
+def main() -> int:
+    from bench import ensure_transcripts, run_pipeline_once
+
+    d1 = os.path.join(CACHE, "sf1v_x1")
+    d10 = os.path.join(CACHE, "sf1v_x10")
+    gen_documents(d1, 5_000)
+    gen_events(d1, 100_000)
+    gen_documents(d10, 50_000)
+    gen_events(d10, 1_000_000)
+
+    from punt_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="sf1_validate", master=f"local[{CPUS}]",
+        shuffle_partitions=max(8, CPUS * 2),
+    )
+    q1 = time_queries(spark, d1)
+    q10 = time_queries(spark, d10)
+    spark.stop()
+    time.sleep(1)
+
+    # full pipeline 2.4M vs 24M turns (metrics+lineage ON)
+    f1, n1 = ensure_transcripts(2_400_000)
+    f10, n10 = ensure_transcripts(24_000_000)
+    p1 = run_pipeline_once(CPUS, f1, n1)
+    p10 = run_pipeline_once(CPUS, f10, n10)
+
+    result = {
+        "what": "per-query wall at 1x vs 10x synthetic-twin input + full "
+        "pipeline 2.4M vs 24M turns",
+        "queries": {
+            name: {
+                "x1_sec": q1[name],
+                "x10_sec": q10[name],
+                "cost_ratio_at_10x_rows": round(q10[name] / q1[name], 2),
+            }
+            for name in QUERIES
+        },
+        "pipeline": {
+            "x1": p1,
+            "x10": p10,
+            "throughput_ratio": round(
+                p10["turns_per_sec"] / p1["turns_per_sec"], 3
+            ),
+        },
+    }
+    print(json.dumps(result, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
