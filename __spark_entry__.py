@@ -781,6 +781,7 @@ def q_curate_corpus(spark, sf_dir):
     saved = {k: spark.conf.get(k) for k in scoped}
     for k, v in scoped.items():
         spark.conf.set(k, v)
+    out = None
     try:
         # localCheckpoint: truncate the md5 shingle→band LSH lineage of
         # q_dedup_minhash_pairs once, before the curation joins consume it
@@ -801,12 +802,15 @@ def q_curate_corpus(spark, sf_dir):
         retained = out["retained"].select(
             F.col("doc_id"), F.lit("retained").alias("status")
         )
-        # materialize the (tiny) result, then release the stage caches —
-        # without this every caller of the query leaks persisted frames
-        # into the shared session for its lifetime
+        # materialize the (tiny) result so the stage caches can be
+        # released before returning
         res = removed.unionByName(retained).coalesce(8).localCheckpoint()
-        out["unpersist"]()
     finally:
+        # cache release lives in the finally: if the materialization
+        # itself fails, the persisted stage frames must not leak into
+        # the long-lived shared session
+        if out is not None:
+            out["unpersist"]()
         for k, v in saved.items():
             spark.conf.set(k, v)
     return res

@@ -28,10 +28,11 @@ uncached partitions itself (see pipeline._record_scan_stats).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import contaminated_ids, minhash_dedup
+from .dedup import contaminated_ids, exact_dup_drop_ids, minhash_dedup
+from .sampling import cap_drop_ids
 from .textstats import redact_pii, with_lang_id, with_quality, with_repetition
 
 
@@ -148,17 +149,13 @@ def curate_corpus(
             )
 
         # exact dedup: drop every id that is not the min-id representative
-        # of its text group (same md5(concat_ws) key as dedup.exact_dedup)
-        key = F.md5(F.concat_ws("\x1f", F.col(text_col)))
-        keyed = survivors.select(F.col(id_col), key.alias("__k"))
-        exact_drops = (
-            keyed.join(
-                keyed.groupBy("__k").agg(F.min(id_col).alias("__keep")),
-                "__k",
-            )
-            .filter(F.col(id_col) != F.col("__keep"))
+        # of its text group (canonical key + min-id rule shared with
+        # dedup.exact_dedup via exact_dup_drop_ids)
+        survivors = _drop(
+            exact_dup_drop_ids(survivors, [text_col], id_col),
+            "exact_dup",
+            survivors,
         )
-        survivors = _drop(exact_drops, "exact_dup", survivors)
 
         # near-dup: drop the higher id of each verified pair (transitive
         # chains collapse toward the smallest id over iterations; one pass
@@ -190,18 +187,14 @@ def curate_corpus(
         )
 
         if max_per_source is not None:
-            # same deterministic rank as sampling.cap_per_group, inverted
-            # to yield the DROP set directly (rank > cap)
-            id_str = F.coalesce(
-                F.col(id_col).cast("string"), F.lit("\x00null")
+            # canonical rank shared with sampling.cap_per_group via
+            # cap_drop_ids (which also validates cap >= 1 — a 0 cap must
+            # raise, not silently drop the whole corpus)
+            survivors = _drop(
+                cap_drop_ids(survivors, source_col, id_col, max_per_source),
+                "source_cap",
+                survivors,
             )
-            h = F.md5(F.concat(F.lit("cap"), id_str).cast("binary"))
-            w = Window.partitionBy(source_col).orderBy(h, F.col(id_col))
-            cap_drops = (
-                survivors.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") > max_per_source)
-            )
-            survivors = _drop(cap_drops, "source_cap", survivors)
 
         retained = survivors.drop("__cut")
         if redact:

@@ -55,19 +55,42 @@ def with_shingles(
 # --- exact ------------------------------------------------------------------
 
 
+def exact_key(cols: list[str]) -> Column:
+    """THE canonical duplicate-group key: md5 over the \\x1f-joined
+    columns (concat_ws skips NULLs, so NULL text groups with empty text).
+    Single definition — every consumer (exact_dedup, stats, curation's
+    audit trail, the DuckDB oracles) must hash identically or drop sets
+    silently desync."""
+    return F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative row per duplicate group (min id) — a
     hash-groupBy join-back, no window over the full table."""
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
-    keyed = df.withColumn("__k", key)
+    keyed = df.withColumn("__k", exact_key(cols))
     keepers = keyed.groupBy("__k").agg(F.min(id_col).alias(id_col))
     return (
         keyed.join(keepers, ["__k", id_col], "left_semi").drop("__k")
     )
 
 
+def exact_dup_drop_ids(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """The id set ``exact_dedup`` removes (everything but each group's
+    min-id representative) — the small DROP frame for audit consumers,
+    complementary to ``exact_dedup`` by construction (same key, same
+    min-id rule)."""
+    keyed = df.select(F.col(id_col), exact_key(cols).alias("__k"))
+    return (
+        keyed.join(
+            keyed.groupBy("__k").agg(F.min(id_col).alias("__keep")), "__k"
+        )
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+    )
+
+
 def exact_dup_stats(df: DataFrame, cols: list[str]) -> DataFrame:
-    key = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in cols]))
+    key = exact_key(cols)
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct(key).alias("n_unique"),

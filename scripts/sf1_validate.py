@@ -164,11 +164,15 @@ def main() -> int:
     spark.stop()
     time.sleep(1)
 
-    # full pipeline 2.4M vs 24M turns (metrics+lineage ON)
+    # full pipeline 2.4M vs 24M turns (metrics+lineage ON). Sink output
+    # goes to DISK (out_base=None), not bench's /dev/shm default: the 24M
+    # leg fans out multiple GB of parquet, which would exhaust a
+    # stock-sized (50%-of-RAM) tmpfs while the JVM holds its heap — and
+    # both legs must share one substrate for the ratio to mean anything.
     f1, n1 = ensure_transcripts(2_400_000)
     f10, n10 = ensure_transcripts(24_000_000)
-    p1 = run_pipeline_once(CPUS, f1, n1)
-    p10 = run_pipeline_once(CPUS, f10, n10)
+    p1 = run_pipeline_once(CPUS, f1, n1, out_base=None)
+    p10 = run_pipeline_once(CPUS, f10, n10, out_base=None)
 
     result = {
         "what": "per-query wall at 1x vs 10x synthetic-twin input + full "

@@ -991,6 +991,10 @@ def test_curate_corpus_source_cap(spark):
     stats = {r["reason"]: r["n"] for r in out["stats"].collect()}
     assert sum(stats.values()) == len(rows)  # accounting stays total
     out["unpersist"]()
+    # cap < 1 raises (shared validation with cap_per_group) — a zero cap
+    # must never silently drop the whole corpus
+    with pytest.raises(ValueError, match="cap"):
+        curate_corpus(docs, min_quality=0.0, max_per_source=0)
 
 
 def test_curate_corpus_symmetric_injected_pairs(spark):

@@ -81,8 +81,14 @@ def test_lsh_band_join_hot_bucket_at_cap_boundary(spark):
         mx, mean, n_parts = _partition_balance(pairs)
         total = pairs.count()
     finally:
+        # conf.get(k, None) is None for confs never explicitly set —
+        # restoring those means UNSET, not skip (a skipped restore would
+        # leak the aggressive toy thresholds into the shared session
+        # fixture for every later test)
         for k, v in saved.items():
-            if v is not None:
+            if v is None:
+                spark.conf.unset(k)
+            else:
                 spark.conf.set(k, v)
     # the boundary bucket alone contributes C(200,2) = 19,900 pairs
     assert total >= cap * (cap - 1) // 2
