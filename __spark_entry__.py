@@ -823,12 +823,30 @@ def q_dup_clusters(spark, sf_dir):
     The oracle walks the same reachability with a recursive CTE."""
     from punt_spark.dataops.dedup import dup_clusters
 
-    pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-    )
-    return dup_clusters(pairs).select(
-        F.col("id").alias("doc_id"), F.col("cluster_id")
-    )
+    # Same small-input conf scope as q_curate_corpus: the CC loop runs
+    # one job per round over a few-hundred-edge graph, where 64-wide
+    # exchanges + AQE re-planning are the whole cost (measured 2.4-2.7 s
+    # → 1.7-2.2 s at sf0.1). The loop's actions (checkpoint + converge
+    # agg per round) all run inside the scope; the tiny result is
+    # materialized before the confs are restored.
+    scoped = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
+        res = dup_clusters(pairs).select(
+            F.col("id").alias("doc_id"), F.col("cluster_id")
+        ).localCheckpoint()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return res
 
 
 def q_alert_actions(spark, sf_dir):

@@ -99,3 +99,46 @@ class DedupIngestor:
         )
         self.index.commit(fps, snapshot_id=batch_id, partition_cols=[])
         return {"batch_id": batch_id, "accepted": n, "skipped": False}
+
+
+def ingest_stream(
+    spark,
+    input_path: str,
+    data_table: SnapshotTable,
+    index_table: SnapshotTable,
+    checkpoint: str,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+):
+    """The continuous-ingestion daemon shape: ``readStream`` over a
+    document directory → ``foreachBatch`` → :class:`DedupIngestor` — the
+    streaming twin of the punt ingest loop (cluster.go:326-338) for
+    corpora instead of log lines.
+
+    Exactly-once composes from three layers: the streaming CHECKPOINT
+    pins which files belong to each micro-batch id (a restarted drain
+    re-delivers the same batch with the same id, never re-reads consumed
+    files into new batches), the ingestor's index done-marker skips
+    batches whose two commits both landed, and both commits are
+    idempotent per batch id. ``Trigger.AvailableNow`` drains the backlog
+    and stops; run it on a schedule (or switch the trigger) for a
+    resident daemon. Returns the finished StreamingQuery."""
+    ingestor = DedupIngestor(data_table, index_table, text_col, id_col)
+
+    def _batch(df: DataFrame, batch_id: int):
+        ingestor.ingest(df, f"batch-{batch_id:08d}")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_path)
+        .writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

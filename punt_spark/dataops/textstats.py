@@ -406,6 +406,7 @@ def normalize_text(
     text_col: str = "text",
     out: str = "norm_text",
     lowercase: bool = False,
+    nfc: bool = False,
 ) -> DataFrame:
     """Canonicalize text before fingerprinting/dedup — the cheap
     normalization pass that makes byte-level dedup keys meaningful across
@@ -414,14 +415,31 @@ def normalize_text(
     * strip C0/C1 control characters (except \\t \\n) and zero-width
       characters (ZWSP/ZWNJ/ZWJ/BOM),
     * collapse all whitespace runs (incl. NBSP) to one space,
-    * trim; optional lowercasing.
+    * trim; optional lowercasing,
+    * optional Unicode NFC composition (``nfc=True``).
 
-    All chained native regexp_replace — JVM-side, zero shuffles, same
-    pattern bank replayable in the DuckDB oracle (RE2-safe classes).
-    Unicode NFC normalization is deliberately out of scope: Spark has no
-    built-in normalizer, and a per-row Python pass for it would put a UDF
-    in the hottest path — document it upstream if the crawl needs it."""
+    The default path is all chained native regexp_replace — JVM-side,
+    zero shuffles, same pattern bank replayable in the DuckDB oracle
+    (RE2-safe classes). NFC is OFF by default because Spark has no
+    built-in normalizer, so it runs as an Arrow-batched pandas UDF
+    (stdlib ``unicodedata``) — vectorized per batch, but still the one
+    Python hop in an otherwise JVM-only pass; enable it only when the
+    crawl genuinely mixes composed/decomposed forms (a decomposed
+    ``e +  ́`` otherwise fingerprints differently from the composed
+    ``é``). It runs FIRST so the regex bank sees composed code points."""
     col = F.col(text_col)
+    if nfc:
+        @pandas_udf("string")
+        def _nfc(s: pd.Series) -> pd.Series:
+            import unicodedata
+
+            return s.map(
+                lambda t: unicodedata.normalize("NFC", t)
+                if t is not None
+                else None
+            )
+
+        col = _nfc(col)
     # control chars (keep \t \n for now — the whitespace collapse below
     # folds them anyway) + zero-width/bom
     col = F.regexp_replace(

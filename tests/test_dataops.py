@@ -796,6 +796,27 @@ def test_normalize_text(spark):
     assert {r["doc_id"]: r["norm_text"] for r in low}[1] == "ab middle space end"
 
 
+def test_normalize_text_nfc(spark):
+    """nfc=True composes decomposed Unicode (e + combining acute -> \u00e9)
+    so byte-level dedup keys agree across crawl sources; default path
+    leaves code points untouched (JVM-only, no Python hop)."""
+    from punt_spark.dataops.textstats import normalize_text
+
+    decomposed = "caf\u0065\u0301 menu"   # "cafe" + combining acute
+    composed = "caf\u00e9 menu"
+    df = spark.createDataFrame(
+        [(0, decomposed), (1, composed), (2, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"]
+           for r in normalize_text(df, nfc=True).collect()}
+    assert out[0] == out[1] == composed
+    assert out[2] is None
+    # default (nfc=False) stays byte-faithful: the two forms differ
+    raw = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+    assert raw[0] != raw[1]
+
+
 def test_curate_corpus_synthetic(spark):
     from punt_spark.dataops.curation import curate_corpus
 
@@ -1403,3 +1424,105 @@ def test_ivf_topk_quantized_recall(vectors):
         for q in range(5)
     )
     assert hits / 25 >= 0.9
+
+
+def test_ingest_stream_continuous_dedup(spark, tmp_path):
+    """Streaming ingest daemon (readStream -> foreachBatch ->
+    DedupIngestor): two drains over a growing directory — cross-drain
+    dupes are dropped via the persistent fingerprint index, and the
+    checkpoint prevents re-reading already-consumed files (re-draining
+    with no new files is a no-op)."""
+    import os as _os
+    import time as _time
+
+    from punt_spark.dataops.ingest import ingest_stream
+    from punt_spark.sink import SnapshotTable
+
+    src = str(tmp_path / "docs_in")
+    _os.makedirs(src)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(_os.path.join(src, name))
+
+    data = SnapshotTable(str(tmp_path / "corpus"))
+    index = SnapshotTable(str(tmp_path / "fp_index"))
+    ck = str(tmp_path / "ckpt")
+
+    write_file("f1", [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")])
+    ingest_stream(spark, src + "/*", data, index, ck)
+    assert {r["doc_id"] for r in data.read(spark).collect()} == {1, 2}
+
+    _time.sleep(1.1)  # file source orders by mod time
+    write_file("f2", [(10, "alpha beta"), (11, "epsilon zeta")])
+    ingest_stream(spark, src + "/*", data, index, ck)
+    corpus = {r["doc_id"] for r in data.read(spark).collect()}
+    assert corpus == {1, 2, 11}  # 10 deduped against drain-1's index
+
+    # third drain with nothing new: checkpoint says no files -> no-op
+    ingest_stream(spark, src + "/*", data, index, ck)
+    assert {r["doc_id"] for r in data.read(spark).collect()} == corpus
+    # index holds exactly the accepted fingerprints (one per survivor)
+    assert index.read(spark).count() == 3
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                alphabet="abcdefg  ​\t",
+                min_size=0,
+                max_size=40,
+            ),
+            st.sampled_from(["sA", "sB"]),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=6, deadline=None)
+def test_curate_corpus_total_accounting_property(corpus_rows, cap):
+    """Invariant over arbitrary corpora (messy unicode text, tiny caps):
+    every input doc appears EXACTLY once across retained ∪ removed, with
+    a recognized reason — no doc is lost or double-attributed regardless
+    of which optional stages fire."""
+    from punt_spark.dataops.curation import curate_corpus
+    from punt_spark.session import get_spark
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    rows = [(i, t, s) for i, (t, s) in enumerate(corpus_rows)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(999, "aaa bbb ccc ddd eee shared benchmark phrase here")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs,
+        min_quality=0.3,
+        max_repetition=0.9,
+        benchmark=bench,
+        decontam_shingle_n=3,
+        near_dup_threshold=0.5,
+        max_per_source=cap,
+    )
+    try:
+        retained = [r["doc_id"] for r in out["retained"].select("doc_id").collect()]
+        removed = [(r["doc_id"], r["reason"]) for r in out["removed"].collect()]
+        all_ids = sorted(retained + [d for d, _ in removed])
+        assert all_ids == [r[0] for r in rows], (retained, removed)
+        valid = {
+            "low_quality", "repetition", "lang", "contaminated",
+            "exact_dup", "near_dup", "source_cap",
+        }
+        assert {r for _, r in removed} <= valid
+        # the cap truly holds on the retained frame
+        from collections import Counter
+
+        per_src = Counter(
+            r["source"] for r in out["retained"].select("source").collect()
+        )
+        assert all(v <= cap for v in per_src.values()), per_src
+    finally:
+        out["unpersist"]()
