@@ -662,6 +662,22 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(batch, hist).select("doc_id")
 
 
+def q_trim_repeated_spans(spark, sf_dir):
+    """Cross-document repeated-span removal (Lee et al. 2022 ExactSubstr
+    analog at token granularity): any token covered by a 4-gram present
+    in ≥2 distinct documents is dropped; unique content survives
+    verbatim. Non-vacuous on the fixture — its small-vocabulary word
+    salads collide heavily (373/500 docs trimmed at sf0.001). The oracle
+    replays tokenize → positional grams → hot-gram set → covered-index
+    filter with DuckDB list lambdas."""
+    from punt_spark.dataops.dedup import trim_repeated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return trim_repeated_spans(d, n=4, min_docs=2).select(
+        "doc_id", "trimmed_text", "n_trimmed_tokens"
+    )
+
+
 def q_normalize_text(spark, sf_dir):
     """Pre-dedup text canonicalization: strip control + zero-width
     characters, collapse whitespace runs (incl. NBSP), trim. The fixture
@@ -995,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "normalize_text": q_normalize_text,
         "incremental_dedup": q_incremental_dedup,
+        "trim_repeated_spans": q_trim_repeated_spans,
     }
 
 
@@ -1313,6 +1330,41 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT min(doc_id) AS doc_id, f FROM batch GROUP BY f)
             SELECT k.doc_id FROM keep k
             WHERE k.f NOT IN (SELECT f FROM hist)
+        """,
+        "trim_repeated_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           lower(trim(text)), '\s+'), t -> t <> '') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT t.doc_id, gs.i - 1 AS s,
+                       array_to_string(
+                           list_slice(t.tk, gs.i, gs.i + 3), ' ') AS gram
+                FROM toks t, UNNEST(range(1,
+                    CASE WHEN len(t.tk) >= 4 THEN len(t.tk) - 2
+                         ELSE 1 END)) AS gs(i)
+            ), hot AS (
+                SELECT gram FROM grams
+                GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ), starts AS (
+                SELECT g.doc_id, list(DISTINCT g.s) AS ss
+                FROM grams g JOIN hot USING (gram)
+                GROUP BY g.doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(array_to_string(
+                       list_transform(
+                           list_filter(range(1, len(t.tk) + 1),
+                               j -> len(list_filter(COALESCE(st.ss, []),
+                                   s -> j - 1 >= s AND j - 1 < s + 4)) = 0),
+                           j -> t.tk[j]), ' '), '') AS trimmed_text,
+                   CAST(len(t.tk) - len(
+                       list_filter(range(1, len(t.tk) + 1),
+                           j -> len(list_filter(COALESCE(st.ss, []),
+                               s -> j - 1 >= s AND j - 1 < s + 4)) = 0))
+                       AS BIGINT) AS n_trimmed_tokens
+            FROM toks t LEFT JOIN starts st USING (doc_id)
         """,
         "normalize_text": """
             WITH p AS (

@@ -76,6 +76,7 @@ OP_QUERIES = [
     "curate_corpus",
     "bpe_pair_counts",
     "embedding_quantize",
+    "trim_repeated_spans",
 ]
 
 

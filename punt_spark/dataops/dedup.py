@@ -289,6 +289,112 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- cross-document repeated-span removal ----------------------------------------
+
+
+def repeated_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(gram, n_docs) — token n-grams appearing in ≥ ``min_docs`` DISTINCT
+    documents: the cross-document repeated-substring table (boilerplate,
+    licenses, templates). One shuffle on the gram key, map-side distinct
+    per doc first; countDistinct is exact because each (doc, gram) pair
+    arrives once."""
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col), F.explode(F.array_distinct("shingles")).alias("gram")
+    )
+    return (
+        sh.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def trim_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    out: str = "trimmed_text",
+) -> DataFrame:
+    """Remove cross-document repeated token spans from each document —
+    the within-document analog of Lee et al. 2022's ExactSubstr dedup
+    ("Deduplicating Training Data Makes Language Models Better"), at
+    token granularity: any token covered by an n-gram that appears in
+    ≥ ``min_docs`` distinct documents is dropped; unique content is kept
+    verbatim (single-space rejoined). Adds ``out`` and
+    ``n_trimmed_tokens``.
+
+    Shape at scale: positions explode map-side; ONE shuffle keys grams
+    for the distinct-doc count; the hot-gram hit list flows back via a
+    gram-keyed join whose output is linear in total gram occurrences
+    (never a doc-pair join); per-doc span merging is a collect_list +
+    array lambdas — no window, no driver loop. A gram in EVERY doc (a
+    license header) costs O(docs) join rows, exactly its occurrence
+    count.
+
+    Mechanics: doc tokens t_0..t_{L-1}; gram at start position p covers
+    tokens [p, p+n-1]; token i survives iff no hot gram start s satisfies
+    s ≤ i ≤ s+n-1. Deterministic; a doc with no hot grams round-trips
+    with only whitespace normalization (split/rejoin). Tokenization is
+    the canonical ``tokens_col`` contract (split on whitespace over
+    lower(trim(text))), with empty tokens filtered so an empty document
+    yields zero tokens."""
+    d = df.withColumn("__toks", F.expr(
+        "filter(" + _TOKS_SQL(text_col) + ", t -> t != '')"
+    ))
+    # (id, start_pos, gram) — positions are 0-based over the token array
+    pos = d.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(__toks) >= {n} THEN "
+                f"transform(sequence(1, size(__toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(__toks, i, {n}))) "
+                f"ELSE array() END"
+            )
+        ).alias("__start", "gram"),
+    )
+    hot = repeated_ngrams(df, text_col, id_col, n, min_docs).select("gram")
+    hits = (
+        pos.join(hot, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__start")).alias("__starts"))
+    )
+    trimmed = (
+        d.join(hits, id_col, "left")
+        .withColumn(
+            "__starts", F.coalesce(F.col("__starts"), F.expr("array()"))
+        )
+        .withColumn(
+            "__keep",
+            F.expr(
+                f"filter(transform(__toks, (t, i) -> "
+                f"CASE WHEN exists(__starts, s -> i >= s AND i < s + {n})"
+                f" THEN NULL ELSE t END), t -> t IS NOT NULL)"
+            ),
+        )
+        .withColumn(out, F.concat_ws(" ", F.col("__keep")))
+        .withColumn(
+            "n_trimmed_tokens",
+            (F.size("__toks") - F.size("__keep")).cast("long"),
+        )
+        .drop("__toks", "__starts", "__keep")
+    )
+    return trimmed
+
+
+def _TOKS_SQL(text_col: str) -> str:
+    """SQL text of the canonical tokenizer (tokens_col) for use inside
+    expr-composed lambdas — split on whitespace over lower(trim(text))."""
+    return f"split(lower(trim({text_col})), '\\\\s+')"
+
+
 # --- benchmark decontamination ---------------------------------------------------
 
 

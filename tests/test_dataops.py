@@ -1526,3 +1526,56 @@ def test_curate_corpus_total_accounting_property(corpus_rows, cap):
         assert all(v <= cap for v in per_src.values()), per_src
     finally:
         out["unpersist"]()
+
+
+def test_trim_repeated_spans_matches_python(spark):
+    """Cross-doc repeated-span removal vs a pure-Python reference: hot
+    4-grams (>= 2 distinct docs) cover tokens [p, p+3]; covered tokens
+    drop, unique content survives verbatim; doc with no hot grams
+    round-trips modulo whitespace normalization."""
+    from punt_spark.dataops.dedup import repeated_ngrams, trim_repeated_spans
+
+    rows = [
+        (0, "LICENSE apache two point oh all rights reserved unique alpha one"),
+        (1, "LICENSE apache two point oh all rights reserved unique beta two"),
+        (2, "totally original content with no shared boilerplate anywhere"),
+        (3, "tail overlap case all rights reserved unique gamma three"),
+        (4, ""),
+    ]
+    n, min_docs = 4, 2
+
+    def py_reference():
+        toks = {i: [t for t in txt.lower().strip().split() if t] for i, txt in rows}
+        grams = {
+            i: {
+                (p, " ".join(tk[p:p + n]))
+                for p in range(len(tk) - n + 1)
+            }
+            for i, tk in toks.items()
+        }
+        from collections import Counter
+
+        df_count = Counter()
+        for i, gs in grams.items():
+            for g in {g for _, g in gs}:
+                df_count[g] += 1
+        hot = {g for g, c in df_count.items() if c >= min_docs}
+        out = {}
+        for i, tk in toks.items():
+            covered = set()
+            for p, g in grams[i]:
+                if g in hot:
+                    covered.update(range(p, p + n))
+            kept = [t for j, t in enumerate(tk) if j not in covered]
+            out[i] = (" ".join(kept), len(tk) - len(kept))
+        return out, hot
+
+    want, want_hot = py_reference()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_hot = {r["gram"] for r in repeated_ngrams(df, n=n, min_docs=min_docs).collect()}
+    assert got_hot == want_hot
+    got = {
+        r["doc_id"]: (r["trimmed_text"], r["n_trimmed_tokens"])
+        for r in trim_repeated_spans(df, n=n, min_docs=min_docs).collect()
+    }
+    assert got == want
