@@ -50,10 +50,39 @@ from .route import route, routes_df
 from .sink import (
     CHUNK_COL,
     SnapshotTable,
+    chunk_expr,
     enforce_mapping,
     salted_write_layout,
 )
 from .transform import apply_transformer
+
+
+def slim_parse_projection(raw: DataFrame) -> DataFrame:
+    """The slim parse-boundary projection — envelope fields flattened, raw
+    text retained only for FAILED rows (the errors side output), roughly
+    halving cached bytes. ONE definition shared by the batch group body
+    and the streaming micro-batch body: the two had drifted copies of
+    this 18-line select, and any asymmetric edit here silently breaks the
+    batch/streaming parity the counters are pinned on."""
+    extra_meta = ["record_idx"] if "record_idx" in raw.columns else []
+    return raw.select(
+        CHUNK_COL,
+        "conv_id",
+        "turn_idx",
+        *extra_meta,
+        "role",
+        "tool",
+        "turn_ts",
+        "parse_ok",
+        F.when(~F.col("parse_ok"), F.col("text")).alias("raw_text"),
+        "parsed.priority",
+        "parsed.ts",
+        "parsed.hostname",
+        "parsed.tag",
+        "parsed.pid",
+        "parsed.content",
+        F.col("parsed.error").alias("parse_error"),
+    )
 
 
 class MetricsPlumbing:
@@ -325,6 +354,26 @@ class MetricsPlumbing:
             pdf.to_parquet(path, index=False)
 
 
+    def _emit_ddl(self):
+        """Write each sink's CREATE TABLE DDL to ``<out>/_ddl/<sink>.sql``
+        at init — the reference pushes its index templates at startup
+        (type.go:63-97); a real deployment applies these files verbatim
+        against its Iceberg catalog (no catalog jars in this sandbox, so
+        the emission IS the binding, kept exact by the round-trip test
+        against every sink's written schema). Lives on MetricsPlumbing so
+        the batch Pipeline AND the streaming daemon emit identically
+        (needs only cfg / frame_mode / out_dir)."""
+        from .sink import sink_ddl
+
+        ddl_dir = os.path.join(self.out_dir, "_ddl")
+        os.makedirs(ddl_dir, exist_ok=True)
+        for sink_name, ddl in sink_ddl(self.cfg, self.frame_mode).items():
+            tmp = os.path.join(ddl_dir, f".{sink_name}.sql.tmp")
+            with open(tmp, "w") as f:
+                f.write(ddl + "\n")
+            os.replace(tmp, os.path.join(ddl_dir, f"{sink_name}.sql"))
+
+
 class Pipeline(MetricsPlumbing):
     def __init__(
         self,
@@ -383,22 +432,6 @@ class Pipeline(MetricsPlumbing):
         self._routes = routes_df(spark, self.cfg)
         self._emit_ddl()
 
-    def _emit_ddl(self):
-        """Write each sink's CREATE TABLE DDL to ``<out>/_ddl/<sink>.sql``
-        at init — the reference pushes its index templates at startup
-        (type.go:63-97); a real deployment applies these files verbatim
-        against its Iceberg catalog (no catalog jars in this sandbox, so
-        the emission IS the binding, kept exact by the round-trip test
-        against every sink's written schema)."""
-        from .sink import sink_ddl
-
-        ddl_dir = os.path.join(self.out_dir, "_ddl")
-        os.makedirs(ddl_dir, exist_ok=True)
-        for sink_name, ddl in sink_ddl(self.cfg, self.frame_mode).items():
-            tmp = os.path.join(ddl_dir, f".{sink_name}.sql.tmp")
-            with open(tmp, "w") as f:
-                f.write(ddl + "\n")
-            os.replace(tmp, os.path.join(ddl_dir, f"{sink_name}.sql"))
 
     # -- resume bookkeeping ----------------------------------------------------
 
@@ -429,9 +462,7 @@ class Pipeline(MetricsPlumbing):
         t_start = time.monotonic()
         chunks = [
             r["c"]
-            for r in transcripts.select(
-                F.date_format("ts", "yyyy-MM-dd").alias("c")
-            )
+            for r in transcripts.select(chunk_expr("ts").alias("c"))
             .distinct()
             .orderBy("c")
             .collect()
@@ -467,7 +498,7 @@ class Pipeline(MetricsPlumbing):
         glabel = f"{group[0]}..{group[-1]}" if len(group) > 1 else group[0]
         with m.timing("processing_latency", glabel):
             gdf = transcripts.withColumn(
-                CHUNK_COL, F.date_format("ts", "yyyy-MM-dd")
+                CHUNK_COL, chunk_expr("ts")
             ).filter(F.col(CHUNK_COL).isin(group))
             gdf = gdf.withColumnRenamed("ts", "turn_ts")
             # Spread the group across the cluster before the parse stage: a
@@ -506,25 +537,7 @@ class Pipeline(MetricsPlumbing):
             # and the writer re-sorts anyway once the cache scan loses the
             # ordering guarantee. Per-sink layout + warm parse cache wins.)
             raw = parser(gdf, "text", cfg.reference_year)
-            extra_meta = ["record_idx"] if "record_idx" in raw.columns else []
-            cached = raw.select(
-                CHUNK_COL,
-                "conv_id",
-                "turn_idx",
-                *extra_meta,
-                "role",
-                "tool",
-                "turn_ts",
-                "parse_ok",
-                F.when(~F.col("parse_ok"), F.col("text")).alias("raw_text"),
-                "parsed.priority",
-                "parsed.ts",
-                "parsed.hostname",
-                "parsed.tag",
-                "parsed.pid",
-                "parsed.content",
-                F.col("parsed.error").alias("parse_error"),
-            ).cache()
+            cached = slim_parse_projection(raw).cache()
             # Materialize BEFORE the concurrent sink writes — cold cache +
             # parallel consumers would duplicate the parse work. When
             # metrics are on, the materialization ACTION doubles as the one
@@ -592,8 +605,13 @@ class Pipeline(MetricsPlumbing):
                         final, cfg.output_partitions, cfg.salt_buckets
                     )
                     with m.timing(f"write_latency.{t.sink_name}", glabel):
+                        # footer lineage gated like streaming: with
+                        # metrics OFF the driver-side footer reads are
+                        # pure waste, and leaving them on flattered the
+                        # ON-vs-OFF overhead comparison
                         manifests = self.sinks[t.sink_name].commit_batch(
                             out, batch_id=gid, chunks=group,
+                            footer_lineage=self.collect_metrics,
                         )
                     return t, enriched, manifests, obs, sub
 
@@ -631,6 +649,7 @@ class Pipeline(MetricsPlumbing):
                 err_manifests = self.errors_table.commit_batch(
                     errors.coalesce(4), batch_id=gid, chunks=group,
                     partition_cols=[],
+                    footer_lineage=self.collect_metrics,
                 )
                 if self.collect_metrics:
                     for c, man in err_manifests.items():

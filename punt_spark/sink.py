@@ -37,7 +37,22 @@ from pyspark.sql import functions as F
 
 PARTITION_COLS = ["route_key", "ts_day"]
 CHUNK_COL = "chunk"
+# Chunk value for rows whose input ts is NULL: date_format(NULL) yields a
+# NULL chunk, and a NULL never matches an isin(group) filter — without the
+# sentinel such rows would silently reach no sink AND no errors table
+# while resume marked their chunk committed (permanent unreported loss).
+# Distinct from every yyyy-MM-dd value and filesystem-safe.
+NULL_TS_CHUNK = "null-ts"
 _HIDDEN_COLS = ["batch", "snap", CHUNK_COL]
+
+
+def chunk_expr(ts_col: str = "ts"):
+    """THE canonical chunk derivation (shared by batch run/group filter and
+    the streaming micro-batch body): day bucket of the input timestamp,
+    NULL-safe via the sentinel."""
+    return F.coalesce(
+        F.date_format(ts_col, "yyyy-MM-dd"), F.lit(NULL_TS_CHUNK)
+    )
 
 
 def _parquet_file_rows(path: str) -> int:
@@ -436,6 +451,34 @@ class SnapshotTable:
         snapshots actually rewritten (< ``min_files`` files are skipped).
         """
         out: dict[str, dict] = {}
+        # Partition values are STRINGS by table contract; the punt_spark
+        # session factory disables inference globally, but compaction must
+        # be safe from ANY session: with inference on, a numeric-looking
+        # value (route_key=00123) would be read as int and REWRITTEN as
+        # route_key=123 — silently renaming the partition directory and
+        # breaking prefix-based retention. Inference happens eagerly at
+        # DataFrame creation; ONE set/restore spans the whole loop (a
+        # per-snapshot toggle would churn session-global state once per
+        # snapshot and widen the window where a concurrent reader — the
+        # retention ticker, a live_tail attach — observes the flipped
+        # value).
+        inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        saved_inf = spark.conf.get(inf_key)
+        spark.conf.set(inf_key, "false")
+        try:
+            return self._compact_snapshots_inner(
+                spark, min_files, snapshot_ids, out
+            )
+        finally:
+            spark.conf.set(inf_key, saved_inf)
+
+    def _compact_snapshots_inner(
+        self,
+        spark: SparkSession,
+        min_files: int,
+        snapshot_ids: list[str] | None,
+        out: dict[str, dict],
+    ) -> dict[str, dict]:
         for sid, m in self.snapshots().items():
             if snapshot_ids is not None and sid not in snapshot_ids:
                 continue
@@ -453,24 +496,10 @@ class SnapshotTable:
             if max(per_dir.values()) <= 1:
                 continue  # already one file per partition value
             part_cols = [c for c in m.get("partition_cols", []) if c]
-            # Partition values are STRINGS by table contract; the
-            # punt_spark session factory disables inference globally, but
-            # compaction must be safe from ANY session: with inference on,
-            # a numeric-looking value (route_key=00123) would be read as
-            # int and REWRITTEN as route_key=123 — silently renaming the
-            # partition directory and breaking prefix-based retention.
-            # Inference happens eagerly at DataFrame creation, so a
-            # set/restore around the read pins it.
-            inf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-            saved_inf = spark.conf.get(inf_key)
-            spark.conf.set(inf_key, "false")
-            try:
-                df = (
-                    spark.read.option("basePath", self.data_dir)
-                    .parquet(*files)
-                )
-            finally:
-                spark.conf.set(inf_key, saved_inf)
+            df = (
+                spark.read.option("basePath", self.data_dir)
+                .parquet(*files)
+            )
             df = df.drop(*[c for c in ("batch",) if c in df.columns])
             gen = 0
             while os.path.exists(
@@ -556,6 +585,22 @@ class SnapshotTable:
             if len(kept) != len(m["files"]):
                 m["files"] = kept
                 m["n_files"] = len(kept)
+                # lineage must track the file set: the per-partition audit
+                # surface (lineage()) otherwise keeps reporting rows that
+                # retention physically deleted (compaction already
+                # recomputes on rewrite; retention must too)
+                pr = (m.get("lineage") or {}).get("partition_rows")
+                if pr:
+                    expired_vals = set(expired)
+                    keep_pr = {
+                        k: v
+                        for k, v in pr.items()
+                        if k.split("|", 1)[0] not in expired_vals
+                    }
+                    m["lineage"] = {
+                        "partition_rows": keep_pr,
+                        "n_rows": sum(keep_pr.values()),
+                    }
                 self._publish(m)
         for d in drop_dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -605,6 +650,31 @@ def enforce_mapping(df: DataFrame, mapping) -> DataFrame:
     return out
 
 
+def _split_ddl_cols(schema: str) -> list[str]:
+    """Split a DDL column list on TOP-LEVEL commas only: a nested type
+    (``pt struct<x:int,y:int>``, ``xs array<struct<...>>``) carries commas
+    that do not delimit columns — a naive split emitted syntactically
+    broken CREATE TABLE statements for any nested payload_schema while
+    from_json handled the same schema fine."""
+    out: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
 def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
     """Per-sink CREATE TABLE DDL — the reference's startup index-template
     sync (R8, type.go:63-97) expressed as Iceberg DDL. On a real cluster
@@ -632,9 +702,7 @@ def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
     for t in cfg.types.values():
         payload = []
         if t.payload_schema and not t.payload_schema.startswith("map<"):
-            payload = [
-                f"{f.strip()}" for f in t.payload_schema.split(",")
-            ]
+            payload = _split_ddl_cols(t.payload_schema)
         if t.transformer == "direct":
             cols = meta + envelope + stamps
         elif t.transformer == "unpack-merge":

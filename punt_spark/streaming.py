@@ -31,9 +31,15 @@ from .config import PipelineConfig, TypeConfig, default_config
 from .enrich import apply_mutators
 from .metrics import MetricsCollector
 from .parse import with_parsed, with_parsed_native
-from .pipeline import MetricsPlumbing
+from .pipeline import MetricsPlumbing, slim_parse_projection
 from .route import route, routes_df
-from .sink import CHUNK_COL, SnapshotTable, enforce_mapping, salted_write_layout
+from .sink import (
+    CHUNK_COL,
+    SnapshotTable,
+    chunk_expr,
+    enforce_mapping,
+    salted_write_layout,
+)
 from .transform import apply_transformer
 
 TRANSCRIPT_SCHEMA = (
@@ -95,6 +101,9 @@ class StreamingPipeline(MetricsPlumbing):
         self.alerts_table = SnapshotTable(os.path.join(out_dir, "alerts"))
         self.actions_table = SnapshotTable(os.path.join(out_dir, "actions"))
         self._routes = routes_df(spark, self.cfg)
+        # startup index-template push, same as the batch Pipeline — the
+        # daemon shape must leave the identical <out>/_ddl contract
+        self._emit_ddl()
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int):
         """foreachBatch body — mirrors Pipeline._run_group for one
@@ -107,7 +116,7 @@ class StreamingPipeline(MetricsPlumbing):
         m = self.metrics
         sid = f"batch-{batch_id:08d}"
         gdf = batch_df.withColumn(
-            CHUNK_COL, F.date_format("ts", "yyyy-MM-dd")
+            CHUNK_COL, chunk_expr("ts")
         ).withColumnRenamed("ts", "turn_ts")
         if self.frame_mode != "none":
             from .framing import frame_records
@@ -115,25 +124,7 @@ class StreamingPipeline(MetricsPlumbing):
             gdf = frame_records(gdf, self.frame_mode, "text")
         parser = with_parsed_native if self.use_native_parse else with_parsed
         raw = parser(gdf, "text", cfg.reference_year)
-        extra_meta = ["record_idx"] if "record_idx" in raw.columns else []
-        cached = raw.select(
-            CHUNK_COL,
-            "conv_id",
-            "turn_idx",
-            *extra_meta,
-            "role",
-            "tool",
-            "turn_ts",
-            "parse_ok",
-            F.when(~F.col("parse_ok"), F.col("text")).alias("raw_text"),
-            "parsed.priority",
-            "parsed.ts",
-            "parsed.hostname",
-            "parsed.tag",
-            "parsed.pid",
-            "parsed.content",
-            F.col("parsed.error").alias("parse_error"),
-        ).cache()
+        cached = slim_parse_projection(raw).cache()
         try:
             # Materialize before the concurrent consumers; when metrics are
             # on the materialization aggregate doubles as the lineage +
@@ -169,9 +160,18 @@ class StreamingPipeline(MetricsPlumbing):
                     obs, sub = self._observe_sink_counters(sub, t, chunks)
                 transformed, _failed = apply_transformer(sub, t)
                 enriched = apply_mutators(transformed, t.mutators, self.lookups)
+                # CHUNK_COL is micro-batch bookkeeping (observe grouping),
+                # not table data: streaming commits partition on
+                # (route_key, ts_day) only, so a retained chunk column
+                # would (a) be physically stored in every sink file
+                # (batch stores it only as a partition dir) and (b) lead
+                # salted_write_layout's sortWithinPartitions, which the
+                # V1 writer's (route_key, ts_day) required ordering is
+                # not a prefix of — Spark would discard the salted sort
+                # and re-sort every task.
                 final = enriched.drop(
                     "prefix", "mapping_type", "date_format", "transformer",
-                    "sink",
+                    "sink", CHUNK_COL,
                 )
                 final = enforce_mapping(final, cfg.mappings.get(t.mapping_type))
                 out = salted_write_layout(
@@ -243,11 +243,13 @@ class StreamingPipeline(MetricsPlumbing):
         if os.path.isfile(input_path):
             # a single parquet FILE (pandas-written fixture): the file
             # stream source requires a DIRECTORY — stream the parent,
-            # glob-filtered to exactly this file
+            # glob-filtered to exactly this file (abspath first: a bare
+            # relative filename has dirname '' and an empty path crashes
+            # the source)
             reader = reader.option(
                 "pathGlobFilter", os.path.basename(input_path)
             )
-            input_path = os.path.dirname(input_path)
+            input_path = os.path.dirname(os.path.abspath(input_path))
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.parquet(input_path)
@@ -396,16 +398,21 @@ def stateful_alert_windows(
 
         rows = []
         start, n = state.get if state.exists else (None, 0)
+        # nanosecond event times: truncating to whole seconds changed
+        # window membership near boundaries (events 1.2 s apart could
+        # truncate to 0 and 2 and split a 2 s window the reference's
+        # first-event-anchored semantics would keep together)
+        window_ns = int(window_sec * 1_000_000_000)
         events = []
         for pdf in pdfs:
-            events.extend(int(t.value // 1_000_000_000) for t in pd.to_datetime(pdf["ts"]))
+            events.extend(int(t.value) for t in pd.to_datetime(pdf["ts"]))
         for t in sorted(events):
             if start is None:
                 start, n = t, 1
-            elif t < start + window_sec:
+            elif t < start + window_ns:
                 n += 1
             else:
-                rows.append((pd.Timestamp(start, unit="s"), n))
+                rows.append((pd.Timestamp(start, unit="ns"), n))
                 start, n = t, 1
         if start is not None:
             state.update((start, n))

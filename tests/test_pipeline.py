@@ -340,3 +340,39 @@ def test_retention_keep_n(spark, run):
     df = sink.read(spark)
     keys = {r["route_key"] for r in df.select("route_key").distinct().collect()}
     assert keys == set(after)
+
+
+def test_null_ts_rows_are_processed_not_lost(spark, tmp_path):
+    """A row with ts=NULL must flow through the pipeline (sentinel chunk),
+    reach a sink or the errors table, and survive resume — date_format of
+    NULL used to yield a NULL chunk that matched no isin(group) filter,
+    silently dropping the row while marking its chunk committed."""
+    import pandas as pd
+
+    from punt_spark.pipeline import Pipeline
+    from punt_spark.sink import NULL_TS_CHUNK
+
+    line = "<13>Mar 14 04:00:00 h1 logs: null ts content survives"
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": pd.array([0, 0], dtype="int32"),
+            "role": ["user", "user"],
+            "text": [line, line],
+            "tool": ["none", "none"],
+            "ts": pd.to_datetime(["2017-03-14 04:00:00", pd.NaT]).astype(
+                "datetime64[us]"
+            ),
+        }
+    )
+    transcripts = spark.createDataFrame(pdf)
+    pipe = Pipeline(spark, out_dir=str(tmp_path / "out"))
+    res = pipe.run(transcripts, resume=False)
+    assert NULL_TS_CHUNK in res["chunks_processed"]
+    out = pipe.sinks["sink_logs"].read(spark)
+    got = {r["conv_id"] for r in out.select("conv_id").collect()}
+    assert got == {"c1", "c2"}  # the NULL-ts row reached the sink
+    # resume skips BOTH chunks (the sentinel chunk is marked like any day)
+    res2 = pipe.run(transcripts, resume=True)
+    assert sorted(res2["chunks_skipped"]) == sorted(res["chunks_processed"])
+    assert pipe.sinks["sink_logs"].read(spark).count() == 2
