@@ -116,7 +116,14 @@ def train_bpe(
 
     Cost shape: one corpus pass, then per round one aggregate job over
     the vocabulary-sized state (the driver argmax collects exactly ONE
-    row per round)."""
+    row per round). Each round's ``localCheckpoint`` materializes a new
+    vocabulary-sized state; superseded rounds' blocks are released by
+    Spark's ContextCleaner after the Python reference drops on
+    reassignment and a JVM GC cycle runs — transient accumulation is
+    bounded by GC cadence × state size (vocabulary rows), not the round
+    count; a very long run (hundreds of merges) on a storage-tight
+    cluster can force collection periodically if the executor storage
+    tab shows superseded RDDs lingering."""
     state = (
         word_counts(df, text_col, min_word_count)
         .select("cnt", F.split("w", "").alias("syms"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .sampling import salted_md5
+
 
 def pack_sequences(
     df: DataFrame,
@@ -45,8 +47,7 @@ def pack_sequences(
         raise ValueError(f"budget must be >= 1, got {budget}")
     if shards < 1:
         raise ValueError(f"shards must be >= 1, got {shards}")
-    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
-    h = F.md5(F.concat(F.lit(salt), id_str).cast("binary"))
+    h = salted_md5(id_col, salt)
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % shards
     ).alias("shard")
@@ -70,9 +71,16 @@ def pack_sequences(
             F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint"))
     d = df.withColumn("n_tokens", tokens).withColumn("shard", shard)
+    # rowsBetween is REQUIRED: an orderBy-only window defaults to a RANGE
+    # frame, which peer-sums rows with tied ordering keys (duplicate or
+    # all-NULL ids share one hash + tiebreaker) — each tied doc would get
+    # start = (sum of all tied docs) − own_tokens, claiming OVERLAPPING
+    # token ranges and silently double-booking the budget. A ROWS frame
+    # gives tied rows consecutive non-overlapping cumsums.
     w = (
         Window.partitionBy("shard")
-        .orderBy(F.md5(F.concat(F.lit(salt), id_str).cast("binary")), F.col(id_col))
+        .orderBy(salted_md5(id_col, salt), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return (

@@ -18,6 +18,18 @@ from pyspark.sql import functions as F
 BUCKETS = 10_000
 
 
+def salted_md5(id_col: str, salt: str) -> Column:
+    """THE canonical salted content hash every deterministic keying op
+    derives from (hash_bucket, cap_rank, packing's shard/order): md5 over
+    salt || id, with NULL ids hashing as the literal sentinel "\x00null"
+    (md5 of NULL would propagate NULL and silently drop/misroute every
+    null-id row). One definition — the DuckDB oracles replay this exact
+    formula, and any fork would silently desync keep/drop/shard decisions
+    across operators and engines."""
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    return F.md5(F.concat(F.lit(salt), id_str).cast("binary"))
+
+
 def hash_bucket(
     id_col: str, salt: str = "", buckets: int = BUCKETS
 ) -> Column:
@@ -29,8 +41,7 @@ def hash_bucket(
     deterministic splitter must not have). All null-id rows share one
     bucket by construction: a deterministic function of the id cannot
     distribute identical ids."""
-    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
-    h = F.md5(F.concat(F.lit(salt), id_str).cast("binary"))
+    h = salted_md5(id_col, salt)
     return (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
     )
@@ -141,10 +152,17 @@ def cap_rank(group_col: str, id_col: str, salt: str = "cap") -> Column:
     row_number within ``group_col`` ordered by (md5(salt || id), id).
     Single definition — consumers deriving the complementary DROP set
     (``cap_drop_ids``, curation's audit trail) must rank identically or
-    keep/drop silently desync; the DuckDB oracles replay this formula."""
-    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
-    h = F.md5(F.concat(F.lit(salt), id_str).cast("binary"))
-    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    keep/drop silently desync; the DuckDB oracles replay this formula.
+
+    Precondition: ids are UNIQUE within a group (the universal contract of
+    these tables). Duplicate or multiple-NULL ids tie on BOTH ordering
+    keys, and row_number over a full tie is partition-order-dependent —
+    two separately-planned jobs (keep set vs drop set) could then resolve
+    the tie differently. With unique ids every rank is total and the
+    keep/drop complement is exact."""
+    w = Window.partitionBy(group_col).orderBy(
+        salted_md5(id_col, salt), F.col(id_col)
+    )
     return F.row_number().over(w)
 
 
@@ -196,5 +214,8 @@ def mixture_stats(
         *group_cols,
         "n_docs",
         "n_tokens",
-        (F.col("n_tokens") / F.col("__t")).alias("token_share"),
+        # try_divide: an all-empty corpus has __t = 0, and under Spark 4
+        # ANSI a plain 0/0 aborts the whole stats job — a NULL share on a
+        # degenerate corpus is the correct answer, not a crash
+        F.try_divide(F.col("n_tokens"), F.col("__t")).alias("token_share"),
     )

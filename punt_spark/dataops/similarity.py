@@ -24,9 +24,19 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
 def _cos(a: str, b: str) -> str:
+    """Cosine similarity with degenerate inputs mapped to NULL, never an
+    error or a fake rank: a zero-norm vector (failed embed, padding row)
+    would make the plain division throw DIVIDE_BY_ZERO under Spark 4 ANSI
+    and abort the whole job — ``try_divide`` yields NULL instead; a NaN
+    component would make sim=NaN, which sorts FIRST under desc() and would
+    outrank every real match — ``nullif`` maps it to NULL too (Spark
+    treats NaN = NaN as true). NULL sims sort last in desc() and fail
+    every >= threshold filter, so garbage rows drop out of top-k/near-dup
+    results instead of crashing or polluting them."""
     return (
-        f"({_DOT.format(a=a, b=b)}) / "
-        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+        f"nullif(try_divide({_DOT.format(a=a, b=b)}, "
+        f"sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), "
+        f"double('NaN'))"
     )
 
 
@@ -55,7 +65,11 @@ def cosine_topk(
         F.col("sim").desc(), F.col(id_col)
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        # NULL sims (degenerate vectors — see _cos) are excluded BEFORE
+        # ranking: row_number would otherwise hand them ranks when a
+        # query has fewer than k real matches
+        sims.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -142,7 +156,11 @@ def lsh_topk(
         F.col("sim").desc(), F.col(id_col)
     )
     return (
-        sims.withColumn("rank", F.row_number().over(w))
+        # NULL sims (degenerate vectors — see _cos) are excluded BEFORE
+        # ranking: row_number would otherwise hand them ranks when a
+        # query has fewer than k real matches
+        sims.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -256,12 +274,24 @@ def ivf_topk(
     (the pytest bound pins ≥0.8 at nprobe=2 of 4 on the synthetic mix);
     raise nprobe toward n_cells to trade linearly back toward exact."""
     spark = vectors.sparkSession
-    centroids, assign = ivf_index(vectors, n_cells, vec_col, seed)
-    v_assigned = assign(vectors).select(id_col, vec_col, "cell")
-
     # nearest nprobe cells per query — computed driver-side on the (small)
     # query set against the (tiny) centroid matrix
     qpdf = queries.select(query_id_col, vec_col).toPandas()
+    if qpdf.empty:
+        # contract parity with cosine_topk / lsh_topk: an empty query set
+        # returns an empty result (np.stack on zero arrays would raise)
+        return (
+            queries.select(query_id_col)
+            .withColumn(
+                id_col, F.lit(None).cast(vectors.schema[id_col].dataType)
+            )
+            .withColumn("sim", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("integer"))
+            .limit(0)
+        )
+    centroids, assign = ivf_index(vectors, n_cells, vec_col, seed)
+    v_assigned = assign(vectors).select(id_col, vec_col, "cell")
+
     qmat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
@@ -290,7 +320,8 @@ def ivf_topk(
         F.col("sim").desc(), F.col(id_col)
     )
     return (
-        sims_df.withColumn("rank", F.row_number().over(w))
+        sims_df.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 

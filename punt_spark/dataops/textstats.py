@@ -21,9 +21,20 @@ from pyspark.sql.functions import pandas_udf
 BPE_ISH = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
 
 
+def _ws_token_count(text_col: str):
+    """Whitespace token count with the empty-split artifact removed:
+    ``split(trim(''), '\\s+')`` yields [''] (one phantom token), so
+    empty/whitespace-only text must filter empties to report 0 —
+    consistent with n_bpe_tokens and with every explode consumer in this
+    module (which all filter t != '')."""
+    return F.size(
+        F.expr(f"filter(split(trim({text_col}), '\\\\s+'), t -> t != '')")
+    )
+
+
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
-        "n_ws_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        "n_ws_tokens", _ws_token_count(text_col)
     ).withColumn(
         "n_bpe_tokens",
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)),
@@ -40,7 +51,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     score in [0,1]. All native expressions."""
     text = F.col(text_col)
     n_chars = F.length(text).cast("double")
-    n_tokens = F.size(F.split(F.trim(text), r"\s+")).cast("double")
+    n_tokens = _ws_token_count(text_col).cast("double")
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[.,!?;:]"), 0)).cast("double")
     n_stop = F.size(
         F.regexp_extract_all(F.lower(text), F.lit(rf"\b({STOPWORDS})\b"), 0)
@@ -211,12 +222,17 @@ def with_idf_score(
     vocabulary score high). idf(t) = ln(N / df(t)); score = mean over the
     document's DISTINCT tokens; empty documents score 0.
 
-    Shape at scale: one explode + groupBy(token) builds the document-
-    frequency table (map-side combined — cardinality is the vocabulary,
-    not the corpus), one join back on token, one groupBy(id) for the mean.
-    No window over the corpus, no driver-side vocabulary. N (corpus doc
-    count, INCLUDING empty docs) rides the same plan as a broadcast 1-row
-    aggregate — no eager count() job, no extra corpus scan at 100 TB."""
+    Shape at scale: the exploded-token subtree feeds BOTH the
+    document-frequency groupBy (map-side combined — cardinality is the
+    vocabulary, not the corpus) and the join-back stream, and the final
+    left join scans the original frame — Spark shares no subplans, so
+    this is two tokenize+explode passes plus one plain scan of the
+    corpus per call (persisting the exploded frame to trade storage of
+    corpus×tokens rows for one pass is usually the worse trade; callers
+    that disagree can persist the input and accept the explode CPU
+    twice). No window over the corpus, no driver-side vocabulary. N
+    (corpus doc count, INCLUDING empty docs) rides the same plan as a
+    broadcast 1-row aggregate — no eager count() job."""
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -255,12 +271,17 @@ def with_bigram_logprob(
     from the corpus mode). Add-``alpha`` smoothing over the unigram
     vocabulary: p(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha·V).
 
-    Shape at scale: token explode → two count tables (bigram + unigram,
-    both vocabulary-bounded, map-side combined) → joins back on the bigram
-    stream → per-doc mean. Same two-shuffle shape as ``with_idf_score``;
-    documents with < 2 tokens score 0. V (unigram vocabulary size over ALL
-    tokens, 1-token docs included) rides the plan as a broadcast 1-row
-    aggregate — no eager distinct().count() job over the corpus.
+    Shape at scale: the bigram-explode subtree feeds the two count tables
+    (bigram + unigram, both vocabulary-bounded, map-side combined) AND
+    the join-back stream, plus the vocabulary aggregate and the final
+    left join — Spark shares no subplans, so the corpus tokenizes ~4
+    times per call (the same persist-vs-recompute trade as
+    ``with_idf_score``: storing the exploded bigram stream usually costs
+    more than re-deriving it; persist the INPUT frame upstream if the
+    scan itself dominates). Documents with < 2 tokens score 0. V (unigram
+    vocabulary size over ALL tokens, 1-token docs included) rides the
+    plan as a broadcast 1-row aggregate — no eager distinct().count()
+    job over the corpus.
     """
     toks = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),

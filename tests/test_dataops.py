@@ -1579,3 +1579,69 @@ def test_trim_repeated_spans_matches_python(spark):
         for r in trim_repeated_spans(df, n=n, min_docs=min_docs).collect()
     }
     assert got == want
+
+
+def test_cosine_degenerate_vectors_never_crash_or_outrank(spark):
+    """Zero-norm embeddings (failed embeds/padding) and NaN components
+    must neither abort the job (ANSI DIVIDE_BY_ZERO) nor outrank real
+    matches (NaN sorts first under desc): both map to NULL sim and drop
+    out of top-k."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),          # zero norm
+        (3, [float("nan"), 1.0, 0.0, 0.0]),  # NaN component
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    got = similarity.cosine_topk(df, q, k=2).toPandas()
+    assert list(got.sort_values("rank")["vec_id"]) == [0, 1]
+    # zero-norm QUERY also survives: its sims are all NULL -> no rows
+    qz = spark.createDataFrame(
+        [(9, [0.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    assert similarity.cosine_topk(df, qz, k=2).count() == 0
+
+
+def test_ivf_topk_empty_query_set(spark):
+    """An empty query frame returns an empty result with the shared
+    (query_id, vec_id, sim, rank) contract — not a np.stack crash."""
+    rows = [(i, [float(i), 1.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.ivf_topk(df, q, k=3, n_cells=2)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "vec_id", "sim", "rank"}
+
+
+def test_token_counts_empty_text_is_zero(spark):
+    """split('') yields [''] — the phantom token must not count:
+    empty/whitespace docs report 0 ws tokens, consistent with bpe."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in textstats.with_token_counts(df).collect()}
+    assert got == {0: (0, 0), 1: (0, 0), 2: (2, 2)}
+
+
+def test_pack_sequences_tied_ids_do_not_overlap(spark):
+    """Duplicate ids tie on the full window ordering key; the ROWS frame
+    must still give them non-overlapping cumulative offsets (a RANGE
+    frame peer-summed ties and double-booked the budget)."""
+    from punt_spark.dataops.packing import pack_sequences
+
+    rows = [(7, "a b c d e"), (7, "x y z w v u t"), (8, "k l m")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, "doc_id", budget=100, shards=1).toPandas()
+    spans = sorted(
+        (int(r.seq_offset), int(r.seq_offset + r.n_tokens))
+        for r in out.itertuples()
+    )
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 <= s2, f"overlapping packed spans {spans}"
+    assert spans[-1][1] == 5 + 7 + 3  # offsets partition the full stream
