@@ -30,6 +30,15 @@ def salted_md5(id_col: str, salt: str) -> Column:
     return F.md5(F.concat(F.lit(salt), id_str).cast("binary"))
 
 
+def bucket_of(id_expr: Column, salt: str, buckets: int = BUCKETS) -> Column:
+    """Bucket from an arbitrary (already NULL-safe) identity COLUMN — the
+    md5 → conv(substr, 16, 10) → mod core shared by ``hash_bucket`` and
+    tail's row sampler, kept in one place for the same no-fork reason as
+    ``salted_md5``."""
+    h = F.md5(F.concat(F.lit(salt), id_expr).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+
+
 def hash_bucket(
     id_col: str, salt: str = "", buckets: int = BUCKETS
 ) -> Column:
@@ -41,10 +50,8 @@ def hash_bucket(
     deterministic splitter must not have). All null-id rows share one
     bucket by construction: a deterministic function of the id cannot
     distribute identical ids."""
-    h = salted_md5(id_col, salt)
-    return (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
-    )
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null"))
+    return bucket_of(id_str, salt, buckets)
 
 
 def hash_split(

@@ -90,6 +90,14 @@ def apply_lookup(
         F.col(key),
         *[F.col(c).cast(t).alias(f"{prefix}_{c}") for c, t in contract.items()],
     )
+    # A dimension table must be UNIQUE on its key (the geoip reference has
+    # exactly one record per IP) — duplicate keys in a hand-built dim
+    # would silently MULTIPLY every matching fact row through the left
+    # join, inflating sinks and counters with no error. Deterministic
+    # dedup: keep the lexicographically-least contract tuple per key.
+    renamed = renamed.groupBy(key).agg(
+        F.min(F.struct(*[c for c in renamed.columns if c != key])).alias("__d")
+    ).select(key, "__d.*")
     return df.join(F.broadcast(renamed), on=key, how="left")
 
 

@@ -166,13 +166,19 @@ def parse_rfc3164_batch(text: pd.Series, year: int) -> pd.DataFrame:
     pid = pid_num.fillna(0).astype("int64")
 
     # Error precedence mirrors ParseRFC3164Inplace's check order
-    # (parser.go:56-106): match → priority → timestamp → pid.
+    # (parser.go:56-106): match → priority → timestamp → pid. Values that
+    # don't fit the declared int32 schema count as INVALID, not as a job
+    # crash: a single adversarial line like <99999999999> would otherwise
+    # fail the whole task at Arrow conversion (Int64 → int32), violating
+    # the totality contract — and the JVM-native twin already tags these
+    # rows Invalid Priority / Invalid PID via try_cast.
+    _I32_MAX = 2_147_483_647
     error = np.select(
         [
             ~matched,
-            pri.isna(),
+            pri.isna() | (pri > _I32_MAX),
             ts.isna(),
-            pid_num.isna() & ~pid_missing,
+            (pid_num.isna() & ~pid_missing) | (pid_num > _I32_MAX),
         ],
         [
             ERR_INVALID_MESSAGE,

@@ -78,8 +78,20 @@ def route(
         matched = matched.withColumnRenamed(f"__r_{c}", c)
 
     # Resolve the per-route date format at plan time: one branch per distinct
-    # format actually present in the registry.
+    # format actually present in the registry. An EMPTY registry (no types
+    # configured) is degenerate but constructible: every row is unhandled
+    # and the routed side is empty — not an IndexError on fmts[0].
     fmts = sorted({row["date_format"] for row in routes.collect()})
+    if not fmts:
+        empty = matched.withColumns(
+            {
+                "route_key": F.lit(None).cast("string"),
+                "ts_day": F.lit(None).cast("string"),
+                "@timestamp": F.lit(None).cast("string"),
+                "punt-server": F.lit(job_id),
+            }
+        ).limit(0)
+        return empty, unhandled
     ts = F.col(ts_col)
     bucket = F.date_format(ts, fmts[0])
     for fmt in fmts[1:]:

@@ -701,8 +701,22 @@ def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
     out = {}
     for t in cfg.types.values():
         payload = []
+        meta_names = {c.split()[0].strip("`") for c in meta}
         if t.payload_schema and not t.payload_schema.startswith("map<"):
-            payload = _split_ddl_cols(t.payload_schema)
+            # payload fields that would shadow engine meta/routing columns
+            # are dropped by the transformer (meta wins) — the DDL must
+            # match the written schema, not the declared payload
+            payload = [
+                c
+                for c in _split_ddl_cols(t.payload_schema)
+                if c.split()[0].strip("`") not in meta_names
+            ]
+        elif t.transformer in ("unpack-merge", "unpack-take"):
+            # dynamic payload (map default / declared map): the whole
+            # object lands as ONE opaque map column
+            payload = [
+                f"payload {t.payload_schema or 'map<string,string>'}"
+            ]
         if t.transformer == "direct":
             cols = meta + envelope + stamps
         elif t.transformer == "unpack-merge":

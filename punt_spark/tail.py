@@ -30,6 +30,8 @@ def sample_bucket(df: DataFrame, seed: int = 42) -> Column:
         if {"conv_id", "turn_idx"}.issubset(df.columns)
         else list(df.columns)
     )
+    from .dataops.sampling import bucket_of
+
     id_str = F.concat_ws(
         "\x1f",
         *[
@@ -37,8 +39,7 @@ def sample_bucket(df: DataFrame, seed: int = 42) -> Column:
             for k in keys
         ],
     )
-    h = F.md5(F.concat(F.lit(f"tail{seed}\x1f"), id_str).cast("binary"))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100
+    return bucket_of(id_str, f"tail{seed}\x1f", 100)
 
 
 def tail(
@@ -60,6 +61,14 @@ def tail(
     semantics a streaming retry can honor. ``sample_mode="engine"`` keeps
     Spark's seeded Bernoulli sample for reference-faithful RNG behavior
     (batch frames only — streams cannot ``sample()``).
+
+    Second documented divergence, the BOUNDARY: the reference skips only
+    when ``rand.Intn(100) > sample`` (control.go:129-133), i.e. keeps
+    (sample+1)% of rows — ``--sample 0`` still passes ~1%. Both modes
+    here implement exact ``sample_pct``% (keep iff bucket/draw < pct, 0
+    keeps nothing), which is what the flag SAYS; replicate the
+    reference's off-by-one with ``sample_pct + 1`` if byte-faithful
+    behavior is ever needed.
     """
     out = df
     if filters:

@@ -27,10 +27,6 @@ from .config import TypeConfig
 # plus `source` stamped at server.go:213).
 ENVELOPE_COLS = ["priority", "ts", "hostname", "tag", "pid", "content", "source"]
 
-# Columns our engine threads through for bookkeeping (routing, ordering
-# invariant, sink partitioning) — never touched by transformers.
-META_COLS = ["conv_id", "turn_idx", "role", "tool"]
-
 
 def json_ok(content_col: str = "content"):
     """True iff content is a parseable JSON object — the exact condition for
@@ -51,26 +47,48 @@ def apply_transformer(df: DataFrame, typ: TypeConfig) -> tuple[DataFrame, DataFr
         raise ValueError(f"unknown transformer {typ.transformer!r}")
 
     schema = typ.payload_schema or "map<string,string>"
+    is_map = schema.startswith("map<")
     ok = json_ok()
     failed = df.filter(~ok)
     good = df.filter(ok)
     payload = F.from_json(F.col("content"), schema)
 
     meta = [c for c in df.columns if c not in ENVELOPE_COLS and c != "payload"]
+    meta_set = set(meta)
+    payload_fields = _schema_field_names(good, schema)
+    # Payload fields may NOT shadow engine bookkeeping/routing columns
+    # (conv_id, turn_idx, role, tool, route_key, ts_day, …): a payload
+    # declaring e.g. `role string` would otherwise emit two identically
+    # named columns and every downstream join/write dies with
+    # AMBIGUOUS_REFERENCE. Envelope names are overridable by design
+    # (json.Unmarshal merge semantics); meta names win — routing and the
+    # ordering invariant cannot be forged by document content.
+    payload_cols = [
+        F.col(f"payload.`{f}`").alias(f)
+        for f in payload_fields
+        if f not in meta_set
+    ]
+    if is_map:
+        # Dynamic payloads (the map<string,string> DEFAULT when no
+        # payload_schema is declared) cannot star-expand — `payload.*` is
+        # only defined for structs and raised AnalysisException for every
+        # configured-but-schemaless unpack type. The whole parsed object
+        # lands as ONE `payload` map column instead (the ES dynamic-
+        # mapping analog; enforce_mapping/DDL treat it as opaque).
+        payload_cols = [payload.alias("payload")]
     if typ.transformer == "unpack-merge":
         # Payload keys override envelope keys (json.Unmarshal merges into the
         # same map, transformers.go:44-47); content dropped on success.
-        payload_fields = _schema_field_names(good, schema)
         keep_envelope = [
             c
             for c in ENVELOPE_COLS
             if c in df.columns and c != "content" and c not in payload_fields
         ]
         out = good.withColumn("payload", payload).select(
-            *meta, *keep_envelope, "payload.*"
+            *meta, *keep_envelope, *payload_cols
         )
     else:  # unpack-take: payload replaces the envelope (transformers.go:59-63)
-        out = good.withColumn("payload", payload).select(*meta, "payload.*")
+        out = good.withColumn("payload", payload).select(*meta, *payload_cols)
     return out, failed
 
 

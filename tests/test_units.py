@@ -713,3 +713,121 @@ def test_compaction_preserves_numeric_looking_partition_values(spark, tmp_path):
     assert dirs == {"route_key=00123", "ts_day=0042"}
     rows = tbl.read(spark).select("route_key", "ts_day").distinct().collect()
     assert [(r["route_key"], r["ts_day"]) for r in rows] == [("00123", "0042")]
+
+
+def test_unpack_map_payload_lands_as_map_column(spark):
+    """A configured unpack type WITHOUT payload_schema (the documented
+    map<string,string> default) must not crash on star expansion: the
+    parsed object lands as one opaque `payload` map column."""
+    from punt_spark.config import TypeConfig
+    from punt_spark.transform import apply_transformer
+
+    df = spark.createDataFrame(
+        [("c1", 0, 13, '{"a": "1", "b": "x"}', "json")],
+        "conv_id string, turn_idx int, priority int, content string, tag string",
+    )
+    t = TypeConfig(name="json", prefix="j-", transformer="unpack-merge",
+                   payload_schema=None)
+    out, failed = apply_transformer(df, t)
+    row = out.collect()[0]
+    assert failed.count() == 0
+    assert row["payload"] == {"a": "1", "b": "x"}
+    assert "content" not in out.columns
+    t2 = TypeConfig(name="json", prefix="j-", transformer="unpack-take",
+                    payload_schema=None)
+    out2, _ = apply_transformer(df, t2)
+    assert out2.collect()[0]["payload"] == {"a": "1", "b": "x"}
+    assert "priority" not in out2.columns
+
+
+def test_unpack_payload_cannot_shadow_meta_columns(spark):
+    """A payload field named like an engine bookkeeping column (role,
+    conv_id, ...) is dropped — meta wins, no AMBIGUOUS_REFERENCE duplicate
+    columns; envelope names stay overridable by design."""
+    from punt_spark.config import TypeConfig
+    from punt_spark.transform import apply_transformer
+
+    df = spark.createDataFrame(
+        [("c1", 0, "user", 13, '{"role": "EVIL", "level": "info"}')],
+        "conv_id string, turn_idx int, role string, priority int, content string",
+    )
+    t = TypeConfig(
+        name="json", prefix="j-", transformer="unpack-merge",
+        payload_schema="role string, level string",
+    )
+    out, _ = apply_transformer(df, t)
+    assert out.columns.count("role") == 1
+    row = out.collect()[0]
+    assert row["role"] == "user"       # meta wins
+    assert row["level"] == "info"      # non-colliding payload field kept
+
+
+def test_parse_out_of_int32_priority_and_pid_tag_not_crash(spark):
+    """An out-of-int32 priority or pid must tag the row invalid (matching
+    the JVM-native twin) — not kill the task at Arrow conversion."""
+    from punt_spark.parse import with_parsed, with_parsed_native
+
+    rows = [
+        ("c1", 0, "<99999999999>Mar 14 04:20:19 host tag: x"),
+        ("c2", 0, "<13>Mar 14 04:20:19 host tag[99999999999]: y"),
+        ("c3", 0, "<13>Mar 14 04:20:19 host tag: fine"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    udf_rows = {
+        r["conv_id"]: (r["parse_ok"], r["parsed"]["error"])
+        for r in with_parsed(df, "text", 2017).select(
+            "conv_id", "parse_ok", "parsed"
+        ).collect()
+    }
+    nat_rows = {
+        r["conv_id"]: (r["parse_ok"], r["parsed"]["error"])
+        for r in with_parsed_native(df, "text", 2017).select(
+            "conv_id", "parse_ok", "parsed"
+        ).collect()
+    }
+    assert udf_rows == nat_rows  # pinned parity
+    assert udf_rows["c1"] == (False, "Invalid Priority")
+    assert udf_rows["c2"] == (False, "Invalid PID")
+    assert udf_rows["c3"][0] is True
+
+
+def test_lookup_duplicate_dim_keys_do_not_multiply_rows(spark):
+    """A dimension table with duplicate keys must not fan out fact rows
+    through the broadcast join: deterministic dedup keeps the least
+    contract tuple per key."""
+    from punt_spark.enrich import apply_lookup
+
+    df = spark.createDataFrame(
+        [("c1", "grep"), ("c2", "bash")], "conv_id string, tool string"
+    )
+    dim = spark.createDataFrame(
+        [
+            ("grep", "catB", 2, [1.0, 2.0]),
+            ("grep", "catA", 1, [0.0, 0.0]),  # duplicate key
+            ("bash", "catC", 3, [3.0, 4.0]),
+        ],
+        "tool string, category string, risk_code int, coords array<double>",
+    )
+    out = apply_lookup(df, {"on": "tool"}, {"tool": dim})
+    assert out.count() == 2  # no row multiplication
+    got = {r["conv_id"]: r["tool_category"] for r in out.collect()}
+    assert got["c1"] == "catA"  # deterministic least tuple
+    assert got["c2"] == "catC"
+
+
+def test_route_empty_registry_all_unhandled(spark):
+    """An empty route registry routes nothing and marks everything
+    unhandled — not an IndexError at plan build."""
+    from punt_spark.route import route
+
+    df = spark.createDataFrame(
+        [("c1", 0, "sometag", "x")],
+        "conv_id string, turn_idx int, tag string, content string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2017-03-14 04:00:00")))
+    routes = spark.createDataFrame(
+        [], "tag string, sink string, prefix string, date_format string, "
+            "transformer string, mapping_type string",
+    )
+    routed, unhandled = route(df, routes)
+    assert routed.count() == 0
+    assert unhandled.count() == 1
