@@ -66,7 +66,15 @@ def exact_key(cols: list[str]) -> Column:
 
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Keep one representative row per duplicate group (min id) — a
-    hash-groupBy join-back, no window over the full table."""
+    hash-groupBy join-back, no window over the full table.
+
+    PRECONDITION: ``id_col`` is non-NULL and unique (same contract as
+    ``sampling.cap_rank``). A NULL id is unrepresentable here — the
+    null-unsafe semi-join drops the row entirely — while
+    ``exact_dup_drop_ids``'s ``id != keep`` filter would RETAIN it, so
+    the two paths silently disagree exactly when the precondition is
+    violated. The documents/transcripts ingest paths stamp ids before
+    dedup; assert non-null upstream if your source cannot guarantee it."""
     keyed = df.withColumn("__k", exact_key(cols))
     keepers = keyed.groupBy("__k").agg(F.min(id_col).alias(id_col))
     return (
@@ -78,7 +86,12 @@ def exact_dup_drop_ids(df: DataFrame, cols: list[str], id_col: str) -> DataFrame
     """The id set ``exact_dedup`` removes (everything but each group's
     min-id representative) — the small DROP frame for audit consumers,
     complementary to ``exact_dedup`` by construction (same key, same
-    min-id rule)."""
+    min-id rule) — UNDER exact_dedup's documented non-NULL/unique id
+    precondition. With a NULL id the complement breaks asymmetrically
+    (exact_dedup drops the row via its null-unsafe join; the ``!=``
+    filter here evaluates NULL → the row never enters the drop set), so
+    an anti-join consumer like curate_corpus would retain rows
+    exact_dedup removes. Callers own the precondition."""
     keyed = df.select(F.col(id_col), exact_key(cols).alias("__k"))
     return (
         keyed.join(
@@ -621,6 +634,7 @@ def dup_clusters(
     pairs: DataFrame,
     max_iter: int = 50,
     ptr_jump_after: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over the duplicate-pair graph → (id, cluster_id)
     with cluster_id = min id in the component.
@@ -639,9 +653,14 @@ def dup_clusters(
     as a ``max(__chg)`` aggregate over the update's own output (labels only
     ever decrease, so changed ⇔ new < old) — no separate compare-join job.
     Checkpointing truncates lineage so the plan stays flat across rounds.
-    ``localCheckpoint`` trades fault-tolerance for speed; a real 100 TB run
-    with preemptible executors should set a checkpoint dir and use reliable
-    ``checkpoint()`` instead.
+    By default the checkpoints are ``localCheckpoint`` (executor-local
+    blocks — fast, but a lost executor loses the truncated lineage and
+    fails the job); pass ``checkpoint_dir`` to switch every round to
+    reliable ``checkpoint()`` into that (HDFS/object-store) path, the
+    right trade on preemptible/spot executors where losing a node mid-CC
+    is expected, not exceptional. Same algorithm, same one-job-per-round
+    shape — reliable checkpoints just add a write of the (small) label
+    frame per round.
 
     ``pairs`` is assumed distinct on (id_a, id_b) — every producer in this
     module ends with ``.distinct()`` — so the symmetrized edge set skips its
@@ -650,6 +669,16 @@ def dup_clusters(
     """
     from pyspark.sql import functions as F
 
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.checkpoint(eager=eager)
+    else:
+
+        def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
+            return df.localCheckpoint(eager=eager)
+
     # Materialize the PAIRS once, then derive both edge directions from the
     # checkpointed blocks: symmetrizing first would put the full upstream
     # pair-generation lineage (shingle → signature → band join for the
@@ -657,17 +686,16 @@ def dup_clusters(
     # the edges job unless exchange reuse happens to fire. One checkpoint of
     # the half-size pair set + a cheap in-memory union is strictly less
     # work, and every round's plan compiles against a flat scan.
-    half = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).localCheckpoint()
+    half = _ckpt(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
     converged = False
     for rnd in range(max_iter):
@@ -696,11 +724,14 @@ def dup_clusters(
         else:
             jumped = F.col("__cand")
             upd = cand
-        new_labels = upd.select(
-            "id",
-            jumped.alias("label"),
-            (jumped < F.col("__old")).cast("int").alias("__chg"),
-        ).localCheckpoint(eager=False)
+        new_labels = _ckpt(
+            upd.select(
+                "id",
+                jumped.alias("label"),
+                (jumped < F.col("__old")).cast("int").alias("__chg"),
+            ),
+            eager=False,
+        )
         # ONE action: materializes the lazy checkpoint AND returns the
         # convergence flag from the same job.
         changed = new_labels.agg(F.max("__chg")).first()[0]
@@ -763,6 +794,7 @@ def incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     history_fp_col: str | None = None,
+    broadcast_hints: bool = True,
 ) -> DataFrame:
     """Exact dedup of an INCOMING batch against an existing corpus — the
     continuous-ingestion shape at 10¹²-doc scale: the corpus is never
@@ -784,7 +816,17 @@ def incremental_dedup(
     over the history (history streams, never shuffles; with the index
     bucketed/sorted on the fingerprint the scan also prunes), producing
     the ≤|batch| set of already-seen fingerprints, which then anti-joins
-    the batch as a small broadcast."""
+    the batch as a small broadcast.
+
+    ``broadcast_hints=True`` (the default) presumes a BOUNDED batch —
+    the micro-batch contract ``ingest_stream`` enforces via its default
+    ``max_files_per_trigger``. A caller feeding an unbounded frame (a
+    whole-backlog batch ingest, a backfill) must pass
+    ``broadcast_hints=False``: the hard hint has no fallback, so an
+    over-limit batch fails the job or OOMs the driver, whereas without
+    the hint AQE picks broadcast from the OBSERVED post-dedup size when
+    the batch really is small and degrades to a shuffle join — slower,
+    alive — when it isn't (curation's no-hard-hint policy)."""
     fp = _norm_fingerprint(text_col)
     b = new_df.withColumn("__fp", fp)
     keep = b.groupBy("__fp").agg(F.min(id_col).alias(id_col))
@@ -795,8 +837,9 @@ def incremental_dedup(
         hist = history.select(F.col(history_fp_col).alias("__fp"))
     else:
         hist = history.select(_norm_fingerprint(text_col).alias("__fp"))
+    maybe_bc = F.broadcast if broadcast_hints else (lambda d: d)
     seen = (
-        hist.join(F.broadcast(batch.select("__fp")), "__fp", "left_semi")
+        hist.join(maybe_bc(batch.select("__fp")), "__fp", "left_semi")
         .distinct()
     )
-    return batch.join(F.broadcast(seen), "__fp", "left_anti").drop("__fp")
+    return batch.join(maybe_bc(seen), "__fp", "left_anti").drop("__fp")

@@ -22,6 +22,15 @@ from pyspark.sql.functions import pandas_udf
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
+# Integer-code dot product: accumulate in BIGINT so the sum is exact (no
+# float accumulation-order effects) — int8/int16 code products are ≤ 2^30
+# per element, so even million-dim vectors stay far from bigint overflow.
+_DOT_INT = (
+    "aggregate(zip_with({a}, {b},"
+    " (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+    " 0L, (acc, x) -> acc + x)"
+)
+
 
 def _cos(a: str, b: str) -> str:
     """Cosine similarity with degenerate inputs mapped to NULL, never an
@@ -36,6 +45,20 @@ def _cos(a: str, b: str) -> str:
     return (
         f"nullif(try_divide({_DOT.format(a=a, b=b)}, "
         f"sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})), "
+        f"double('NaN'))"
+    )
+
+
+def _cos_int(a: str, b: str) -> str:
+    """Cosine over INTEGER code arrays: all three dot products accumulate
+    exactly in bigint; floats appear only at the final divide/sqrt. Same
+    degenerate-input contract as ``_cos`` (zero-norm → NULL via
+    try_divide; the bigint dots cannot produce NaN, but the nullif keeps
+    the two expressions behaviorally identical)."""
+    return (
+        f"nullif(try_divide(cast({_DOT_INT.format(a=a, b=b)} as double), "
+        f"sqrt(cast({_DOT_INT.format(a=a, b=a)} as double)) * "
+        f"sqrt(cast({_DOT_INT.format(a=b, b=b)} as double))), "
         f"double('NaN'))"
     )
 
@@ -264,6 +287,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     seed: int = 42,
+    index=None,
 ) -> DataFrame:
     """IVF search: assign vectors to cells once; per query probe the
     ``nprobe`` nearest cells only.
@@ -272,7 +296,14 @@ def ivf_topk(
     Recall loss comes only from true neighbors living in unprobed cells —
     on clustered data nprobe=2..4 of 16 cells is typically ≥0.9 recall@10
     (the pytest bound pins ≥0.8 at nprobe=2 of 4 on the synthetic mix);
-    raise nprobe toward n_cells to trade linearly back toward exact."""
+    raise nprobe toward n_cells to trade linearly back toward exact.
+
+    ``index`` accepts a prebuilt ``(centroids, assign)`` pair from
+    :func:`ivf_index` so repeated query batches against one corpus share a
+    single k-means training (the coarse quantizer is a property of the
+    corpus, not of the query batch — retraining per call costs a corpus
+    sample + 20 k-means iterations each time for an identical result).
+    When provided, ``n_cells``/``seed`` are ignored for training."""
     spark = vectors.sparkSession
     # nearest nprobe cells per query — computed driver-side on the (small)
     # query set against the (tiny) centroid matrix
@@ -289,7 +320,9 @@ def ivf_topk(
             .withColumn("rank", F.lit(None).cast("integer"))
             .limit(0)
         )
-    centroids, assign = ivf_index(vectors, n_cells, vec_col, seed)
+    centroids, assign = (
+        index if index is not None else ivf_index(vectors, n_cells, vec_col, seed)
+    )
     v_assigned = assign(vectors).select(id_col, vec_col, "cell")
 
     qmat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
@@ -379,14 +412,28 @@ def quantized_cosine_topk(
     per-vector scale cancels in cosine, so this is simply cosine over the
     integer codes: 4× less data scanned/shuffled for a small, bounded
     ranking perturbation (pytest pins recall@10 ≥ 0.9 vs exact on the
-    fixture). Same result contract as ``cosine_topk``."""
+    fixture). The three dot products accumulate exactly in BIGINT
+    (``_cos_int``) — the codes stay at tinyint/smallint width end to end
+    and floats appear only at the final divide — so the similarity is a
+    deterministic function of the codes with no float summation-order
+    effects. Same result contract as ``cosine_topk``."""
     qv = quantize_embeddings(vectors, vec_col, out="__q", bits=bits).select(
-        F.col(id_col), F.col("__q").cast("array<double>").alias(vec_col)
+        F.col(id_col), F.col("__q").alias("v")
     )
     qq = quantize_embeddings(queries, vec_col, out="__q", bits=bits).select(
-        F.col(query_id_col), F.col("__q").cast("array<double>").alias(vec_col)
+        F.col(query_id_col), F.col("__q").alias("qv")
     )
-    return cosine_topk(qv, qq, k, vec_col, id_col, query_id_col)
+    sims = qv.crossJoin(F.broadcast(qq)).select(
+        query_id_col, id_col, F.expr(_cos_int("v", "qv")).alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("sim").desc(), F.col(id_col)
+    )
+    return (
+        sims.filter(F.col("sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def ivf_topk_quantized(
@@ -400,6 +447,7 @@ def ivf_topk_quantized(
     query_id_col: str = "query_id",
     seed: int = 42,
     bits: int = 8,
+    index=None,
 ) -> DataFrame:
     """IVF search over int8-quantized codes — D8 (IVF) composed with D28
     (quantization), the full 100 TB scale path: candidates scanned ≈
@@ -410,7 +458,13 @@ def ivf_topk_quantized(
     tinyint width through the cell join and only widen to double inside
     the per-row dot product. Recall loss = IVF cell misses + a bounded
     quantization ranking perturbation (pytest pins recall@5 ≥ 0.9 against
-    exact search on the clustered fixture)."""
+    exact search on the clustered fixture).
+
+    ``index`` reuses a prebuilt coarse quantizer across query batches
+    (see :func:`ivf_topk`); it must have been trained on the SAME
+    representation this function searches — the quantized codes, i.e.
+    ``ivf_index(quantize_embeddings(vectors, ...), ...)`` — or cell
+    assignment and probe selection would disagree about geometry."""
     qv = quantize_embeddings(vectors, vec_col, out="__q", bits=bits).select(
         F.col(id_col), F.col("__q").alias(vec_col)
     )
@@ -418,5 +472,6 @@ def ivf_topk_quantized(
         F.col(query_id_col), F.col("__q").alias(vec_col)
     )
     return ivf_topk(
-        qv, qq, k, n_cells, nprobe, vec_col, id_col, query_id_col, seed
+        qv, qq, k, n_cells, nprobe, vec_col, id_col, query_id_col, seed,
+        index=index,
     )

@@ -699,17 +699,26 @@ def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
         "`@timestamp` string", "`punt-server` string",
     ]
     out = {}
+    # The transformer drops payload fields that collide with ANY engine
+    # column present at transform time — not just the parse meta, but the
+    # routing stamps and the bookkeeping columns route() attaches (sink,
+    # prefix, mapping_type, date_format, transformer, chunk). The DDL must
+    # mirror that full set or a payload declaring e.g. `route_key string`
+    # lists the column twice (invalid CREATE TABLE) and one declaring
+    # `sink string` lists a column that is never written (schema drift).
+    meta_names = {c.split()[0].strip("`") for c in meta}
+    stamp_names = {c.split()[0].strip("`") for c in stamps}
+    engine_names = meta_names | stamp_names | {
+        CHUNK_COL, "sink", "prefix", "mapping_type", "date_format",
+        "transformer",
+    }
     for t in cfg.types.values():
         payload = []
-        meta_names = {c.split()[0].strip("`") for c in meta}
         if t.payload_schema and not t.payload_schema.startswith("map<"):
-            # payload fields that would shadow engine meta/routing columns
-            # are dropped by the transformer (meta wins) — the DDL must
-            # match the written schema, not the declared payload
             payload = [
                 c
                 for c in _split_ddl_cols(t.payload_schema)
-                if c.split()[0].strip("`") not in meta_names
+                if c.split()[0].strip("`") not in engine_names
             ]
         elif t.transformer in ("unpack-merge", "unpack-take"):
             # dynamic payload (map default / declared map): the whole
@@ -748,7 +757,17 @@ def sink_ddl(cfg, frame_mode: str = "none") -> dict[str, str]:
                 if fname not in present:
                     sp = ES_TO_SPARK_TYPE.get(spec.get("type", "text"), "string")
                     cols.append(f"{fname} {sp}")
-        body = ",\n  ".join(cols)
+        # belt-and-braces: a column list with a repeated name is invalid
+        # DDL no matter which path produced the repeat (payload vs mutator
+        # output vs mapping fold-in) — keep the first occurrence
+        seen: set[str] = set()
+        deduped: list[str] = []
+        for c in cols:
+            name = c.split()[0].strip("`")
+            if name not in seen:
+                seen.add(name)
+                deduped.append(c)
+        body = ",\n  ".join(deduped)
         # identity partitioning on the stamp columns — matches the physical
         # writes (unpack-take sinks have no envelope ts to apply days() to)
         out[t.sink_name] = (

@@ -283,6 +283,34 @@ def test_dup_clusters_long_chain_and_convergence_guard(spark):
         dedup.dup_clusters(pairs, max_iter=5)
 
 
+def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches every lineage-truncation point from
+    localCheckpoint (executor-local blocks) to reliable checkpoint() into
+    the given path — the preemptible-executor trade. Same labels, and the
+    checkpoint files actually land in the directory."""
+    ckpt = str(tmp_path / "cc_ckpt")
+    chain = [(i, i + 1) for i in range(9)] + [(20, 21), (21, 22)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs, checkpoint_dir=ckpt).collect()
+    }
+    want = {
+        r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert got == want
+    assert {v for k, v in got.items() if k <= 9} == {0}
+    assert {v for k, v in got.items() if k >= 20} == {20}
+    import os
+
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+    ]
+    assert written, "reliable checkpoint wrote nothing to checkpoint_dir"
+
+
 def test_decontaminate(spark):
     bench = spark.createDataFrame(
         [(100, "the secret benchmark answer is forty two exactly")],
@@ -536,6 +564,74 @@ def test_ivf_bounded_training_sample(vectors):
         len(set(got[got.query_id == q]["vec_id"]) & set(want[q])) for q in range(5)
     )
     assert hits / 25 == 1.0  # nprobe == n_cells probes everything → exact
+
+
+def test_ivf_topk_index_reuse(vectors, monkeypatch):
+    """A prebuilt ivf_index is reused verbatim across query batches: with
+    index= passed, ivf_topk never retrains (ivf_index is not called), and
+    two batches against one index match fresh-trained results."""
+    df, pdf = vectors
+    prebuilt = similarity.ivf_index(df, n_cells=4, seed=42)
+
+    calls = {"n": 0}
+    real_ivf_index = similarity.ivf_index
+
+    def counting_index(*a, **kw):
+        calls["n"] += 1
+        return real_ivf_index(*a, **kw)
+
+    monkeypatch.setattr(similarity, "ivf_index", counting_index)
+    batches = []
+    for lo, hi in ((0, 3), (3, 5)):
+        q = df.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        batches.append(
+            similarity.ivf_topk(
+                df, q, k=5, n_cells=4, nprobe=4, index=prebuilt
+            ).toPandas()
+        )
+    assert calls["n"] == 0, "index= must bypass per-call k-means training"
+    monkeypatch.undo()
+
+    fresh = similarity.ivf_topk(
+        df,
+        df.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        k=5,
+        n_cells=4,
+        nprobe=4,
+    ).toPandas()
+    got = (
+        pd.concat(batches)
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    fresh = fresh.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got["vec_id"].tolist() == fresh["vec_id"].tolist()
+
+
+def test_ivf_topk_quantized_index_reuse(vectors):
+    """ivf_topk_quantized threads index= through — trained on the SAME
+    quantized representation it searches."""
+    df, pdf = vectors
+    qcorpus = similarity.quantize_embeddings(
+        df, "embedding", out="__q", bits=8
+    ).select("vec_id", F.col("__q").alias("embedding"))
+    prebuilt = similarity.ivf_index(qcorpus, n_cells=4, seed=42)
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.ivf_topk_quantized(
+        df, queries, k=5, n_cells=4, nprobe=4, index=prebuilt
+    ).toPandas()
+    want = _np_topk(pdf, range(5), 5)
+    hits = sum(
+        len(set(got[got.query_id == q]["vec_id"]) & set(want[q]))
+        for q in range(5)
+    )
+    assert hits / 25 >= 0.9
 
 
 # --- textstats -----------------------------------------------------------------------

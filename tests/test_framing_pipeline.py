@@ -106,6 +106,46 @@ def test_sink_ddl(spark, tmp_path):
             assert f.read().strip() == stmt.strip(), ddl_file
 
 
+def test_sink_ddl_payload_shadowing_engine_columns(spark, tmp_path):
+    """A payload_schema declaring engine/routing names (route_key, sink,
+    chunk) must emit VALID DDL that matches the written schema: the
+    transformer drops payload fields colliding with any engine column —
+    not just the parse meta — so the DDL filter has to use the same full
+    set. Before the fix, `route_key string` in a payload emitted a CREATE
+    TABLE listing route_key twice and `sink string` listed a column that
+    is never written."""
+    import re
+
+    from punt_spark.fixtures import lookup_role_pdf, lookup_tool_pdf, make_transcripts
+
+    cfg = default_config()
+    cfg.types["app-json"].payload_schema = (
+        "level string, user string, epoch string, "
+        "route_key string, sink string, chunk string"
+    )
+    ddl = sink_ddl(cfg)
+    stmt = ddl["sink_app-json"]
+    col_block = stmt.split("(", 1)[1].split("\n) USING")[0]
+    names = re.findall(r"^\s*`?([\w@-]+)`?\s+\w+", col_block, re.M)
+    assert names.count("route_key") == 1
+    assert "sink" not in names and "chunk" not in names
+    assert len(names) == len(set(names)), "duplicate columns in DDL"
+
+    lookups = {
+        "tool": spark.createDataFrame(lookup_tool_pdf()),
+        "role": spark.createDataFrame(lookup_role_pdf()),
+    }
+    pipe = Pipeline(
+        spark, cfg, out_dir=str(tmp_path / "shadow_ddl"),
+        lookups=lookups, collect_metrics=False,
+    )
+    pipe.run(spark.createDataFrame(make_transcripts(400, seed=7)))
+    written = pipe.sinks["sink_app-json"].read(spark)
+    assert set(names) == set(written.columns), (
+        set(names) ^ set(written.columns)
+    )
+
+
 def test_sink_ddl_executes_against_session_catalog(spark, tmp_path):
     """R8 live check: the emitted DDL (rendered USING parquet) EXECUTES
     against the session catalog and binds exactly the columns and types
