@@ -662,6 +662,41 @@ def q_incremental_dedup(spark, sf_dir):
     return incremental_dedup(batch, hist).select("doc_id")
 
 
+def q_ingest_dedup_fold(spark, sf_dir):
+    """The D32 PRODUCTION loop's end state, oracle-gated: documents split
+    into 3 deterministic ordered batches (batch_ord = doc_id % 3) and
+    folded through :class:`DedupIngestor` — each batch deduped against
+    the persistent fingerprint index the PRIOR batches built, survivors
+    committed data-first/index-last (reference interval-commit
+    continuity, /root/reference/lib/punt/cluster.go:326-338). The final
+    accepted set is a pure fold: each fingerprint keeps its first
+    occurrence in (batch_ord, doc_id) order, which DuckDB replays as a
+    row_number window — no ingestor, same answer."""
+    import shutil
+    import tempfile
+
+    from punt_spark.dataops.ingest import DedupIngestor
+    from punt_spark.sink import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="punt_ingest_fold_")
+    try:
+        ing = DedupIngestor(
+            SnapshotTable(os.path.join(tmp, "data")),
+            SnapshotTable(os.path.join(tmp, "index")),
+        )
+        for b in range(3):
+            ing.ingest(d.filter(F.col("doc_id") % 3 == b), f"fold-{b}")
+        out = ing.data.read(spark).select(
+            "doc_id", (F.col("doc_id") % 3).alias("batch_ord")
+        )
+        # pin the rows before the backing temp tables are removed
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_trim_repeated_spans(spark, sf_dir):
     """Cross-document repeated-span removal (Lee et al. 2022 ExactSubstr
     analog at token granularity): any token covered by a 4-gram present
@@ -1011,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "normalize_text": q_normalize_text,
         "incremental_dedup": q_incremental_dedup,
+        "ingest_dedup_fold": q_ingest_dedup_fold,
         "trim_repeated_spans": q_trim_repeated_spans,
     }
 
@@ -1330,6 +1366,22 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT min(doc_id) AS doc_id, f FROM batch GROUP BY f)
             SELECT k.doc_id FROM keep k
             WHERE k.f NOT IN (SELECT f FROM hist)
+        """,
+        "ingest_dedup_fold": r"""
+            WITH fp AS (
+                SELECT doc_id, doc_id % 3 AS batch_ord,
+                       md5(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                     'g')))) AS f
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, batch_ord,
+                       row_number() OVER (
+                           PARTITION BY f ORDER BY batch_ord, doc_id
+                       ) AS rn
+                FROM fp
+            )
+            SELECT doc_id, batch_ord FROM ranked WHERE rn = 1
         """,
         "trim_repeated_spans": r"""
             WITH toks AS (

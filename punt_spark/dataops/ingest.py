@@ -110,7 +110,7 @@ def ingest_stream(
     schema: str = "doc_id long, text string",
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = 64,
 ):
     """The continuous-ingestion daemon shape: ``readStream`` over a
     document directory → ``foreachBatch`` → :class:`DedupIngestor` — the
@@ -124,7 +124,16 @@ def ingest_stream(
     batches whose two commits both landed, and both commits are
     idempotent per batch id. ``Trigger.AvailableNow`` drains the backlog
     and stops; run it on a schedule (or switch the trigger) for a
-    resident daemon. Returns the finished StreamingQuery."""
+    resident daemon. Returns the finished StreamingQuery.
+
+    ``max_files_per_trigger`` defaults to a BOUND (64 files/batch) rather
+    than unset: a first trigger over a large backfill backlog would
+    otherwise arrive as one unbounded batch, and ``incremental_dedup``'s
+    hard broadcast hints (safe only for bounded micro-batches) could
+    exceed the broadcast limit with no fallback. Pass ``None`` explicitly
+    to drain a backlog in one batch — only with an upstream size
+    guarantee, or after switching the ingestor to
+    ``broadcast_hints=False`` semantics."""
     ingestor = DedupIngestor(data_table, index_table, text_col, id_col)
 
     def _batch(df: DataFrame, batch_id: int):

@@ -353,6 +353,15 @@ class MetricsPlumbing:
         if len(pdf):
             pdf.to_parquet(path, index=False)
 
+    def _snapshot_gauges(self, chunk: str):
+        """A5 runtime gauges at a commit boundary (reference
+        RunRuntimeCollector, metrics.go:17-27): driver-side JMX bean reads
+        only — adds ZERO Spark jobs to the group budget."""
+        from .metrics import runtime_gauges
+
+        for k, v in runtime_gauges(self.spark).items():
+            self.metrics.gauge(k, chunk, v)
+
 
     def _emit_ddl(self):
         """Write each sink's CREATE TABLE DDL to ``<out>/_ddl/<sink>.sql``
@@ -476,6 +485,11 @@ class Pipeline(MetricsPlumbing):
             group = pending[i : i + self.max_chunks_per_group]
             self._run_group(transcripts, group, fail_after_first_sink)
             done.extend(group)
+            if self.collect_metrics:
+                glabel = (
+                    f"{group[0]}..{group[-1]}" if len(group) > 1 else group[0]
+                )
+                self._snapshot_gauges(glabel)
         self._write_metrics()
         return {
             "chunks_processed": done,

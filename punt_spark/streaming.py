@@ -232,6 +232,10 @@ class StreamingPipeline(MetricsPlumbing):
                         partition_cols=[],
                     )
                 rolled.unpersist()
+            if self.collect_metrics:
+                # A5 gauges at the micro-batch commit boundary — same
+                # zero-job JMX snapshot as the batch group boundary
+                self._snapshot_gauges(sid)
         finally:
             cached.unpersist()
 

@@ -120,6 +120,35 @@ def test_metrics_counters_match_oracle(run):
     assert got == want
 
 
+def test_runtime_gauges_snapshot(run):
+    """A5 runtime gauges (reference RunRuntimeCollector, metrics.go:17-27):
+    each group boundary snapshots JVM mem/GC + executor-roster levels into
+    the metric table via driver-side JMX reads (zero Spark jobs), and
+    totals() folds gauges last-value-wins rather than summing."""
+    pipe, result, oracle, cfg = run
+    present = {
+        r["metric"] for r in pipe.metrics.rows
+        if r["metric"].startswith("gauge.")
+    }
+    for want in (
+        "gauge.jvm_heap_used_bytes",
+        "gauge.jvm_gc_count",
+        "gauge.executor_count",
+        "gauge.driver_python_rss_bytes",
+    ):
+        assert want in present, want
+    totals = result["metrics"]
+    assert totals["gauge.jvm_heap_used_bytes"] > 0
+    assert totals["gauge.executor_count"] >= 1  # local mode: the driver
+    # last-value fold: the totals entry equals the final snapshot row,
+    # not the sum across group boundaries
+    last_heap = [
+        r["value"] for r in pipe.metrics.rows
+        if r["metric"] == "gauge.jvm_heap_used_bytes"
+    ][-1]
+    assert totals["gauge.jvm_heap_used_bytes"] == last_heap
+
+
 def test_dynamic_tag_metrics_bounded(spark, tmp_path):
     """Adversarial dynamic-tag cardinality must not land on the driver:
     with 10k distinct tags and max_dynamic_tags=5 the driver receives at
