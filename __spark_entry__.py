@@ -372,7 +372,10 @@ def q_lang_id(spark, sf_dir):
 
 
 def _shingled(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    return _shingled_from(_t(spark, sf_dir, "documents"))
+
+
+def _shingled_from(d):
     return (
         d.withColumn("ws", F.split(F.lower(F.trim("text")), r"\s+"))
         .filter(F.size("ws") >= 3)
@@ -400,7 +403,14 @@ def q_minhash_signature(spark, sf_dir):
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates: 4 hashes → 2 bands of 2 → bucket
     join → candidate pairs (doc_a < doc_b)."""
-    sh = _shingled(spark, sf_dir)
+    return _minhash_pairs_from(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_pairs_from(d):
+    """The md5-LSH pair family over an already-loaded documents frame —
+    shared by the standalone gate and curate_corpus so the composite
+    doesn't pay a second scan/partition-probe setup for the same table."""
+    sh = _shingled_from(d)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(
@@ -834,11 +844,15 @@ def q_curate_corpus(spark, sf_dir):
         spark.conf.set(k, v)
     out = None
     try:
-        # localCheckpoint: truncate the md5 shingle→band LSH lineage of
-        # q_dedup_minhash_pairs once, before the curation joins consume it
-        pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
+        # lazy on purpose (r6): curation consumes injected pairs as ONE
+        # linear chain (semi-join id_a → semi-join id_b → project), so the
+        # LSH lineage compiles into the single near-dup/cap audit job —
+        # checkpointing it first was a whole extra job (~1.3-1.7 s of this
+        # composite's fixed cost) that materialized rows only that job
+        # read. Built from the already-loaded ``d``, not a second _t scan.
+        pairs = _minhash_pairs_from(d).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-        ).localCheckpoint()
+        )
         out = curate_corpus(
             corpus,
             min_quality=0.5,

@@ -274,7 +274,7 @@ def run_core_once(threads: int, fixtures_path: str, n_rows: int) -> dict:
     }
 
 
-def time_op_queries(sf_dir: str) -> dict[str, float]:
+def time_op_queries(sf_dir: str) -> tuple[dict[str, float], dict[str, list]]:
     import __spark_entry__ as entrymod
 
     spark = _fresh_session(CPUS, "punt_bench_ops")
@@ -284,26 +284,33 @@ def time_op_queries(sf_dir: str) -> dict[str, float]:
     qs["route_counts"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
-    out = {}
+    out, raws = {}, {}
     for name in OP_QUERIES:
         if name not in qs:
             continue
         # min of 2: the first execution of a plan shape in a session pays
         # codegen/JIT that steady-state runs don't (r3 recorded
         # window_rollup/alert_actions 2× and r4 route_counts 3× off a
-        # single cold sample; warm repeats sit at the stable value)
-        best = None
-        for _ in range(2):
+        # single cold sample; warm repeats sit at the stable value).
+        # curate_corpus gets a third leg: it is the deepest plan in the
+        # suite (fused audit windows + inline LSH lineage), so its FIRST
+        # leg is dominated by Catalyst analysis + codegen (~2× steady
+        # state, r6 measured 11 s cold vs 5 s warm) and one warm repeat
+        # under a host-load spike can still leave min-of-2 reading the
+        # cold time. All raw legs are published in bench_out.json.
+        n_legs = 3 if name == "curate_corpus" else 2
+        legs = []
+        for _ in range(n_legs):
             t0 = time.monotonic()
             qs[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            dt = time.monotonic() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
+            legs.append(round(time.monotonic() - t0, 3))
+        out[name] = min(legs)
+        raws[name] = legs
     spark.stop()
     time.sleep(1)
-    return out
+    return out, raws
 
 
 def main() -> int:
@@ -315,7 +322,7 @@ def main() -> int:
     fixtures_path, n_rows = ensure_transcripts(n_target)
     core_path, core_n = ensure_transcripts(CORE_TURNS)
 
-    queries = time_op_queries(SF_DIR)
+    queries, queries_raw = time_op_queries(SF_DIR)
 
     # The core measurement is sensitive to transient machine load (other
     # tenants / JVM shutdown from earlier bench stages): measured standalone
@@ -383,6 +390,7 @@ def main() -> int:
         "value": pipe_high["turns_per_sec"],
         "unit": "turns/sec",
         "queries": queries,
+        "queries_raw_legs": queries_raw,
         "sf": sf,
         "n_turns": n_rows,
         "scaling": {

@@ -11,19 +11,23 @@ audit frame with the removal reason, so curation is reproducible and
 attributable (the training-data analog of the punt pipeline's errors /
 unhandled side outputs).
 
-Execution shape (r5 redesign, measured 10.25 s → target ≤6 s at sf0.1):
+Execution shape (r5 redesign 10.25 s → 5.0 s at sf0.1; r6 fuses further):
 exactly ONE corpus-scale cache — the scored frame, whose scalar stages
 (quality / repetition / language) are fused into a single CASE-derived
-removal-reason column — plus a chain of SMALL removed-id frames
-(contaminated / exact-dup / near-dup / source-cap ids), each persisted and
-eagerly materialized so the retained frame is one cache scan anti-joined
-against four broadcastable id sets. The previous shape persisted ~6
-corpus-scale stage frames; removal-ID frames shrink with the removal rate,
-not the corpus, so at 100 TB the persisted footprint here is the scored
-corpus once + O(removed) ids. Eager materialization at each boundary is
-still required: a lazily-persisted frame consumed by several concurrent
-branches of one downstream action is raced — each branch computes the
-uncached partitions itself (see pipeline._record_scan_stats).
+removal-reason column — plus TWO small removed-(id, reason) frames, each
+persisted and eagerly materialized so the retained frame is one cache scan
+anti-joined against two broadcastable id sets. The two audit frames fold
+the four removal stages pairwise into single jobs (r6 — fixed per-job
+overhead dominates small-corpus composites and is pure profit at scale):
+contamination + exact dedup share one text-key window (keeper = min
+NON-contaminated id per group), and near-dup + source cap share one
+source-key window (cap_rank with the near-dup flag in the window
+partition). Removal frames shrink with the removal rate, not the corpus,
+so at 100 TB the persisted footprint is the scored corpus once +
+O(removed) ids. Eager materialization at each boundary is still required:
+a lazily-persisted frame consumed by several concurrent branches of one
+downstream action is raced — each branch computes the uncached partitions
+itself (see pipeline._record_scan_stats).
 """
 
 from __future__ import annotations
@@ -31,8 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import contaminated_ids, exact_dup_drop_ids, minhash_dedup
-from .sampling import cap_drop_ids
+from pyspark.sql import Window
+
+from .dedup import exact_key, minhash_dedup, with_shingles
+from .sampling import cap_rank
 from .textstats import redact_pii, with_lang_id, with_quality, with_repetition
 
 
@@ -76,8 +82,10 @@ def curate_corpus(
     keeps its lower id). Pairs whose endpoints did not survive the earlier
     stages are ignored (both ends are semi-joined to the exact-dedup
     survivors, exactly what the built-in stage guarantees by construction).
-    Pass pre-materialized (e.g. ``localCheckpoint()``-ed) pairs when they
-    carry heavy lineage — the frame is consumed by two joins here.
+    Injected pairs are consumed as ONE linear join chain (semi id_a →
+    semi id_b → project), so lazy frames with heavy lineage compile into
+    the single near-dup audit job — no pre-materialization needed (r6;
+    the r5 shape consumed them twice and wanted a checkpoint).
 
     Call the returned ``unpersist()`` when done with the outputs; an
     exception mid-build releases every cache persisted so far before
@@ -118,7 +126,14 @@ def curate_corpus(
             cut = cut.when(
                 ~F.col("lang_pred").isin(*keep_langs), F.lit("lang")
             )
-        scored = _stage(scored.withColumn("__cut", cut))
+        # persist WITHOUT an eager count (r6): the first audit job below
+        # consumes this cache through ONE linear branch, so its first
+        # action fills every partition with no concurrent-branch race —
+        # the separate materialization job the r5 shape needed is free.
+        # Every later consumer (audit job 2, the final retained/removed
+        # action) runs sequentially against the then-warm cache.
+        scored = scored.withColumn("__cut", cut).persist()
+        persisted.append(scored)
         survivors = scored.filter(F.col("__cut").isNull())
         removed_frames: list[DataFrame] = [
             scored.filter(F.col("__cut").isNotNull()).select(
@@ -126,40 +141,92 @@ def curate_corpus(
             )
         ]
 
-        def _drop(ids: DataFrame, reason: str, base: DataFrame) -> DataFrame:
-            """Materialize a (small) removed-id frame, record its audit
-            rows, and anti-join it off the survivor lineage. The id set is
-            bounded by the stage's removal count, and the persisted cache
-            carries exact size stats — AQE broadcasts it when it fits and
-            falls back to a shuffled join for a pathological removal rate
-            (a hard broadcast hint here would OOM on a 90%-dup corpus)."""
-            ids = _stage(ids.select(id_col))
-            removed_frames.append(
-                ids.select(F.col(id_col), F.lit(reason).alias("reason"))
-            )
-            return base.join(ids, id_col, "left_anti")
+        def _drop(tagged: DataFrame, base: DataFrame) -> DataFrame:
+            """Materialize a (small) removed (id, reason) frame, record
+            its audit rows, and anti-join its ids off the survivor
+            lineage. The frame is bounded by the removal count, and the
+            persisted cache carries exact size stats — AQE broadcasts it
+            when it fits and falls back to a shuffled join for a
+            pathological removal rate (a hard broadcast hint here would
+            OOM on a 90%-dup corpus)."""
+            tagged = _stage(tagged.select(F.col(id_col), F.col("reason")))
+            removed_frames.append(tagged)
+            return base.join(tagged.select(id_col), id_col, "left_anti")
 
+        # --- fused audit job 1: contamination + exact dedup -----------------
+        # Sequentially these are two jobs (contaminated ids; then exact-dup
+        # ids over the remainder) with identical answers to this ONE pass:
+        # flag each survivor contaminated or not, then per text-key group
+        # keep the min NON-contaminated id — everyone else in the group is
+        # exact_dup, contaminated rows are contaminated regardless. Stage
+        # precedence holds exactly (a contaminated min-id doc cedes the
+        # representative slot to the next-smallest clean id, which is what
+        # running dedup after decontamination produced); the fold halves
+        # the fixed per-job cost that dominates small-corpus composites.
+        #
+        # The contamination flag is computed LINEARLY (explode_outer the
+        # doc's shingles → left join the broadcast benchmark shingle set →
+        # re-group per doc with max(hit)) instead of ``contaminated_ids``'s
+        # id-set + join-back: one chain means this job consumes the scored
+        # cache through a single branch, which is what lets the cache
+        # materialize here without the cold-cache branch race (and without
+        # the r5 shape's dedicated materialization job). Same answer: a doc
+        # is contaminated iff any of its distinct shingles hits the set.
         if benchmark is not None:
-            survivors = _drop(
-                contaminated_ids(
-                    survivors, benchmark, text_col, id_col, decontam_shingle_n
-                ),
-                "contaminated",
-                survivors,
+            bench_shingles = (
+                with_shingles(benchmark, text_col, decontam_shingle_n)
+                .select(F.explode("shingles").alias("__s"))
+                .distinct()
+                .withColumn("__hit", F.lit(1))
             )
-
-        # exact dedup: drop every id that is not the min-id representative
-        # of its text group (canonical key + min-id rule shared with
-        # dedup.exact_dedup via exact_dup_drop_ids)
+            sh = with_shingles(
+                survivors.select(
+                    F.col(id_col),
+                    exact_key([text_col]).alias("__k"),
+                    F.col(text_col),
+                ),
+                text_col,
+                decontam_shingle_n,
+                out="__sh",
+            )
+            flagged = (
+                sh.select(
+                    F.col(id_col), F.col("__k"),
+                    F.explode_outer("__sh").alias("__s"),
+                )
+                .join(F.broadcast(bench_shingles), "__s", "left")
+                .groupBy(id_col, "__k")
+                .agg(F.max("__hit").alias("__c"))
+            )
+        else:
+            flagged = survivors.select(
+                F.col(id_col),
+                exact_key([text_col]).alias("__k"),
+                F.lit(None).cast("int").alias("__c"),
+            )
+        wk = Window.partitionBy("__k")
+        keeper = F.min(
+            F.when(F.col("__c").isNull(), F.col(id_col))
+        ).over(wk)
+        reason1 = F.when(F.col("__c") == 1, F.lit("contaminated")).when(
+            F.col(id_col) != keeper, F.lit("exact_dup")
+        )
         survivors = _drop(
-            exact_dup_drop_ids(survivors, [text_col], id_col),
-            "exact_dup",
+            flagged.withColumn("reason", reason1).filter(
+                F.col("reason").isNotNull()
+            ),
             survivors,
         )
 
-        # near-dup: drop the higher id of each verified pair (transitive
+        # --- fused audit job 2: near-dup + per-source cap -------------------
+        # near-dup drops the higher id of each verified pair (transitive
         # chains collapse toward the smallest id over iterations; one pass
-        # is the standard large-scale approximation)
+        # is the standard large-scale approximation); the cap then ranks
+        # the REMAINDER per source. One window job does both: rank with
+        # the near-dup flag added to the window partition (cap_rank's
+        # also_partition_by), so clean rows rank exactly as if the
+        # near-dups were filtered first — duplicates must not consume a
+        # domain's budget.
         if near_dup_pairs is not None:
             pairs = near_dup_pairs.select(
                 F.least("id_a", "id_b").alias("id_a"),
@@ -180,21 +247,32 @@ def curate_corpus(
                 bands=bands,
                 threshold=near_dup_threshold,
             )
+        nd_ids = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        flagged2 = survivors.select(
+            F.col(id_col),
+            *( [F.col(source_col)] if max_per_source is not None else [] ),
+        ).join(nd_ids.withColumn("__nd", F.lit(1)), id_col, "left")
+        if max_per_source is not None:
+            if max_per_source < 1:
+                # same validation as sampling.cap_per_group: a 0 cap must
+                # raise, not silently drop the whole corpus
+                raise ValueError(
+                    f"cap must be >= 1, got {max_per_source}"
+                )
+            rn = cap_rank(
+                source_col, id_col, also_partition_by=F.col("__nd")
+            )
+            reason2 = F.when(F.col("__nd") == 1, F.lit("near_dup")).when(
+                rn > max_per_source, F.lit("source_cap")
+            )
+        else:
+            reason2 = F.when(F.col("__nd") == 1, F.lit("near_dup"))
         survivors = _drop(
-            pairs.select(F.col("id_b").alias(id_col)).distinct(),
-            "near_dup",
+            flagged2.withColumn("reason", reason2).filter(
+                F.col("reason").isNotNull()
+            ),
             survivors,
         )
-
-        if max_per_source is not None:
-            # canonical rank shared with sampling.cap_per_group via
-            # cap_drop_ids (which also validates cap >= 1 — a 0 cap must
-            # raise, not silently drop the whole corpus)
-            survivors = _drop(
-                cap_drop_ids(survivors, source_col, id_col, max_per_source),
-                "source_cap",
-                survivors,
-            )
 
         retained = survivors.drop("__cut")
         if redact:

@@ -154,7 +154,12 @@ def cap_per_group(
     )
 
 
-def cap_rank(group_col: str, id_col: str, salt: str = "cap") -> Column:
+def cap_rank(
+    group_col: str,
+    id_col: str,
+    salt: str = "cap",
+    also_partition_by: Column | None = None,
+) -> Column:
     """THE canonical per-group survivor rank used by ``cap_per_group``:
     row_number within ``group_col`` ordered by (md5(salt || id), id).
     Single definition — consumers deriving the complementary DROP set
@@ -166,8 +171,18 @@ def cap_rank(group_col: str, id_col: str, salt: str = "cap") -> Column:
     keys, and row_number over a full tie is partition-order-dependent —
     two separately-planned jobs (keep set vs drop set) could then resolve
     the tie differently. With unique ids every rank is total and the
-    keep/drop complement is exact."""
-    w = Window.partitionBy(group_col).orderBy(
+    keep/drop complement is exact.
+
+    ``also_partition_by`` adds an eligibility column to the window
+    partition (same ordering formula): rows sharing the group but flagged
+    ineligible rank among themselves, leaving eligible rows ranked exactly
+    as if the ineligible rows were filtered first — how curation folds the
+    near-dup exclusion and the source cap into one window job without
+    forking this formula."""
+    parts = [F.col(group_col)]
+    if also_partition_by is not None:
+        parts.append(also_partition_by)
+    w = Window.partitionBy(*parts).orderBy(
         salted_md5(id_col, salt), F.col(id_col)
     )
     return F.row_number().over(w)
