@@ -616,8 +616,13 @@ def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 on the 16-bit md5-nibble
     simhash): pigeonhole banding — 4 chunks of 4 bits, a ham≤3 pair must
     share ≥1 exact chunk — prunes candidates WITHOUT changing the result,
-    so the brute-force SQL oracle matches exactly. The 64-bit production
-    variant (dedup.simhash_near_dup_pairs) uses the same shape."""
+    so the brute-force SQL oracle matches exactly. SEMANTICS GATE ONLY:
+    4-bit chunks have 16 possible values, so each bucket holds ~n/16 docs
+    and the band join is quadratic by construction at large n (measured
+    38× cost at 10× rows, scripts/sf1_validate.py r6) — the scale path is
+    the 64-bit ``dedup.simhash_near_dup_pairs`` (65536-value chunks plus
+    the ``max_bucket`` boilerplate guard), same shape, not brute-force-
+    replayable because its hash is blake2b."""
     from punt_spark.dataops.dedup import simhash16_native
 
     sh = simhash16_native(_t(spark, sf_dir, "documents"))

@@ -587,11 +587,27 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k. Pigeonhole banding:
     split 64 bits into 4 × 16-bit chunks; any pair within distance 3 shares
     ≥1 exact chunk → join on (chunk_idx, chunk_value), verify with
-    bit_count(xor)."""
+    bit_count(xor).
+
+    ``max_bucket`` drops (chunk_idx, chunk_val) buckets holding more than
+    that many docs before the self-join — the SAME boilerplate guard as
+    ``lsh_candidate_pairs``: a chunk value shared by a viral template puts
+    O(bucket²) rows on one join key, and without the cap the join is
+    quadratic in the hottest bucket. r6 evidence this guard is
+    load-bearing: the frequency-realistic 10×-input validation
+    (scripts/sf1_validate.py) read the UNcapped 16-bit oracle variant at
+    38× cost for 10× rows — that variant's 4-bit chunks (16 possible
+    values) saturate by construction at n ≳ 16·cap docs, which is exactly
+    why it stays an oracle-semantics gate while THIS 64-bit capped path
+    (65536 values per chunk) is the production one. A dropped bucket can
+    hide true pairs whose other three chunks also differ; near-identical
+    docs agree on several chunks, so they survive via a cooler chunk —
+    the standard recall trade documented at ``lsh_candidate_pairs``."""
     sh = with_simhash(df, text_col).select(id_col, "simhash")
     chunks = sh.select(
         id_col,
@@ -603,6 +619,11 @@ def simhash_near_dup_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+    bucket_counts = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    ok = bucket_counts.filter(F.col("__n") <= max_bucket).drop("__n")
+    chunks = chunks.join(ok, ["chunk_idx", "chunk_val"], "left_semi")
     a = chunks.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sig_a"),

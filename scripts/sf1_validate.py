@@ -8,12 +8,15 @@ Two legs, per VERDICT r4 item #4:
   complete job, not just the parsed+routed core.
 * **The most expensive driver queries** at 1× vs 10× of their input
   tables. The driver ships sf0.1 tables only, so both sides run on a
-  DETERMINISTIC synthetic twin generated here (same vocabulary — sampled
-  from the real sf0.1 documents — same 20-source uniform mix, same lang
-  mix, same exact-dup rate; events keep the fixed 30-day span with rows
-  and users scaling 10×, mirroring the real sf0.01→sf0.1 behavior). The
-  ratio is apples-to-apples within one generator; the absolute sf0.1
-  timings next to it come from the regular bench.
+  DETERMINISTIC synthetic twin generated here (r6: word frequencies AND
+  doc token lengths resampled from the real sf0.1 documents' empirical
+  distributions — the frequency shape drives shingle-collision rates,
+  i.e. the minhash/simhash/trim costs being ratio-checked; same
+  20-source uniform mix, lang mix, and exact-dup rate; events keep the
+  fixed 30-day span with rows and users scaling 10×, mirroring the real
+  sf0.01→sf0.1 behavior). The ratio is apples-to-apples within one
+  generator; the absolute sf0.1 timings next to it come from the regular
+  bench. ``--queries-only`` skips the 24M-turn pipeline leg.
 
 Prints one JSON document: per-query wall times at both scales and the
 cost ratio (≤ ~10 at 10× rows = linear; the time-windowed aggregations
@@ -44,6 +47,8 @@ QUERIES = [
     "curate_corpus",
     "dup_clusters",
     "dedup_minhash_pairs",
+    "simhash_pairs_prod64",
+    "trim_repeated_spans",
     "decontaminate",
     "idf_score",
     "route_counts",
@@ -51,28 +56,67 @@ QUERIES = [
 ]
 
 
-def _vocab_from_real() -> list[str]:
+def _q_simhash_prod64(spark, sf_dir):
+    """The PRODUCTION simhash path (64-bit, 16-bit chunks, max_bucket
+    guard) — this is the variant whose scale ratio matters. The entry
+    gate ``simhash_pairs`` (16-bit, 4-bit chunks so DuckDB can replay it)
+    is EXCLUDED from this table by design: 4-bit chunks have 16 possible
+    values, so every bucket holds n/16 docs and the band join is
+    quadratic by construction once n ≳ 16·cap — measured 38× cost at 10×
+    rows on the r6 frequency-realistic twin, which is what prompted the
+    production cap (dedup.simhash_near_dup_pairs max_bucket)."""
+    import __spark_entry__ as entrymod
+
+    from punt_spark.dataops.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(entrymod._t(spark, sf_dir, "documents"))
+
+
+def _word_dist_from_real() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(words, probabilities, doc token lengths) — the real sf0.1
+    documents table's EMPIRICAL word-frequency and doc-length
+    distributions. r6: the r5 twin sampled the DISTINCT vocab uniformly,
+    which flattens the word-frequency curve; shingle collision rates —
+    exactly what drives minhash/simhash/trim costs — depend on the
+    frequency SHAPE, so the dedup-family ratios were measured against an
+    unrealistically collision-poor corpus. Sampling words by empirical
+    frequency and lengths by resampling real lengths reproduces the real
+    table's hot-shingle tail at any n."""
     import duckdb
 
     con = duckdb.connect()
-    words = con.execute(
-        "SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM "
-        f"'{REAL_SF_DIR}/documents.parquet' ORDER BY w"
+    rows = con.execute(
+        "SELECT w, count(*) AS c FROM ("
+        "  SELECT unnest(string_split(text, ' ')) AS w FROM "
+        f" '{REAL_SF_DIR}/documents.parquet')"
+        " WHERE w <> '' GROUP BY w ORDER BY w"
     ).fetchall()
-    return [w[0] for w in words if w[0]]
+    words = np.array([r[0] for r in rows])
+    p = np.array([r[1] for r in rows], dtype=np.float64)
+    p /= p.sum()
+    lens = con.execute(
+        "SELECT len(string_split(text, ' ')) FROM "
+        f"'{REAL_SF_DIR}/documents.parquet'"
+    ).fetchall()
+    return words, p, np.array([r[0] for r in lens], dtype=np.int64)
 
 
 def gen_documents(out_dir: str, n: int, seed: int = 11) -> str:
-    """Synthetic twin of the driver's documents table at row count n."""
+    """Synthetic twin of the driver's documents table at row count n,
+    word-frequency- and doc-length-matched to the real table."""
     path = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
-    vocab = np.array(_vocab_from_real())
-    n_words = rng.integers(8, 95, n)
+    vocab, p, real_lens = _word_dist_from_real()
+    n_words = rng.choice(real_lens, n, replace=True)
+    # one draw for every word position (≈ n·E[len]), then split per doc —
+    # per-doc weighted draws would pay the alias-table setup n times
+    flat = vocab[rng.choice(len(vocab), int(n_words.sum()), p=p)]
+    offs = np.concatenate(([0], np.cumsum(n_words)))
     texts = [
-        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
+        " ".join(flat[offs[i] : offs[i + 1]]) for i in range(n)
     ]
     # exact-dup rate ≈ the real table's (8 per 5000)
     for i in range(625, n, 625):
@@ -126,6 +170,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    qs["simhash_pairs_prod64"] = _q_simhash_prod64
     qs["route_counts"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()  # warm
@@ -146,8 +191,11 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> int:
     from bench import ensure_transcripts, run_pipeline_once
 
-    d1 = os.path.join(CACHE, "sf1v_x1")
-    d10 = os.path.join(CACHE, "sf1v_x10")
+    queries_only = "--queries-only" in sys.argv
+    # v2 cache dirs: the r6 frequency-matched twin must not reuse r5's
+    # uniform-vocab parquet
+    d1 = os.path.join(CACHE, "sf1v2_x1")
+    d10 = os.path.join(CACHE, "sf1v2_x10")
     gen_documents(d1, 5_000)
     gen_events(d1, 100_000)
     gen_documents(d10, 50_000)
@@ -169,10 +217,15 @@ def main() -> int:
     # leg fans out multiple GB of parquet, which would exhaust a
     # stock-sized (50%-of-RAM) tmpfs while the JVM holds its heap — and
     # both legs must share one substrate for the ratio to mean anything.
-    f1, n1 = ensure_transcripts(2_400_000)
-    f10, n10 = ensure_transcripts(24_000_000)
-    p1 = run_pipeline_once(CPUS, f1, n1, out_base=None)
-    p10 = run_pipeline_once(CPUS, f10, n10, out_base=None)
+    # --queries-only skips this leg (the dedup-family ratio re-record
+    # doesn't need the 24M-turn pipeline re-run).
+    if queries_only:
+        p1 = p10 = {"turns_per_sec": None}
+    else:
+        f1, n1 = ensure_transcripts(2_400_000)
+        f10, n10 = ensure_transcripts(24_000_000)
+        p1 = run_pipeline_once(CPUS, f1, n1, out_base=None)
+        p10 = run_pipeline_once(CPUS, f10, n10, out_base=None)
 
     result = {
         "what": "per-query wall at 1x vs 10x synthetic-twin input + full "
@@ -188,8 +241,10 @@ def main() -> int:
         "pipeline": {
             "x1": p1,
             "x10": p10,
-            "throughput_ratio": round(
-                p10["turns_per_sec"] / p1["turns_per_sec"], 3
+            "throughput_ratio": (
+                round(p10["turns_per_sec"] / p1["turns_per_sec"], 3)
+                if p1["turns_per_sec"]
+                else None
             ),
         },
     }

@@ -172,6 +172,31 @@ def test_simhash_pairs(docs):
     assert got == {(0, 3)}
 
 
+def test_simhash_pairs_bucket_cap(spark):
+    """max_bucket is the boilerplate guard (r6 — the sf1 realistic-twin
+    validation read the UNcapped formulation at 38x cost for 10x rows): a
+    viral cluster of identical docs saturates every one of its chunk
+    buckets past the cap and produces NO pairs, while a genuine near-dup
+    pair in cool buckets survives; the uncapped run finds the viral
+    cluster's quadratic pair set."""
+    viral = [(i, "the viral marketing template spreads everywhere") for i in range(30)]
+    distinct = [
+        (100, "quantum physics lecture notes alpha beta gamma delta"),
+        (101, "quantum physics lecture notes alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(viral + distinct, "doc_id long, text string")
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_near_dup_pairs(docs, max_bucket=10)
+        .toPandas()
+        .itertuples()
+    }
+    assert (100, 101) in capped
+    assert all(a >= 100 for a, _ in capped), capped  # viral buckets dropped
+    full = dedup.simhash_near_dup_pairs(docs, max_bucket=10**9).toPandas()
+    assert len(full) >= len(capped) + 30 * 29 // 2  # quadratic set was real
+
+
 def _py_simhash16(text: str) -> int:
     import hashlib
 
