@@ -91,6 +91,11 @@ def curate_corpus(
     exception mid-build releases every cache persisted so far before
     re-raising.
     """
+    if max_per_source is not None and max_per_source < 1:
+        # same validation as sampling.cap_per_group (a 0 cap must raise,
+        # not silently drop the whole corpus) — checked FIRST, before any
+        # corpus-scale job burns on an argument error
+        raise ValueError(f"cap must be >= 1, got {max_per_source}")
     persisted: list[DataFrame] = []
 
     def _stage(df: DataFrame) -> DataFrame:
@@ -253,12 +258,6 @@ def curate_corpus(
             *( [F.col(source_col)] if max_per_source is not None else [] ),
         ).join(nd_ids.withColumn("__nd", F.lit(1)), id_col, "left")
         if max_per_source is not None:
-            if max_per_source < 1:
-                # same validation as sampling.cap_per_group: a 0 cap must
-                # raise, not silently drop the whole corpus
-                raise ValueError(
-                    f"cap must be >= 1, got {max_per_source}"
-                )
             rn = cap_rank(
                 source_col, id_col, also_partition_by=F.col("__nd")
             )

@@ -70,35 +70,15 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 
     PRECONDITION: ``id_col`` is non-NULL and unique (same contract as
     ``sampling.cap_rank``). A NULL id is unrepresentable here — the
-    null-unsafe semi-join drops the row entirely — while
-    ``exact_dup_drop_ids``'s ``id != keep`` filter would RETAIN it, so
-    the two paths silently disagree exactly when the precondition is
-    violated. The documents/transcripts ingest paths stamp ids before
-    dedup; assert non-null upstream if your source cannot guarantee it."""
+    null-unsafe semi-join drops the row entirely, so any consumer
+    deriving a complementary DROP set would silently disagree exactly
+    when the precondition is violated. The documents/transcripts ingest
+    paths stamp ids before dedup; assert non-null upstream if your
+    source cannot guarantee it."""
     keyed = df.withColumn("__k", exact_key(cols))
     keepers = keyed.groupBy("__k").agg(F.min(id_col).alias(id_col))
     return (
         keyed.join(keepers, ["__k", id_col], "left_semi").drop("__k")
-    )
-
-
-def exact_dup_drop_ids(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
-    """The id set ``exact_dedup`` removes (everything but each group's
-    min-id representative) — the small DROP frame for audit consumers,
-    complementary to ``exact_dedup`` by construction (same key, same
-    min-id rule) — UNDER exact_dedup's documented non-NULL/unique id
-    precondition. With a NULL id the complement breaks asymmetrically
-    (exact_dedup drops the row via its null-unsafe join; the ``!=``
-    filter here evaluates NULL → the row never enters the drop set), so
-    an anti-join consumer like curate_corpus would retain rows
-    exact_dedup removes. Callers own the precondition."""
-    keyed = df.select(F.col(id_col), exact_key(cols).alias("__k"))
-    return (
-        keyed.join(
-            keyed.groupBy("__k").agg(F.min(id_col).alias("__keep")), "__k"
-        )
-        .filter(F.col(id_col) != F.col("__keep"))
-        .select(id_col)
     )
 
 
@@ -594,21 +574,38 @@ def simhash_near_dup_pairs(
     ≥1 exact chunk → join on (chunk_idx, chunk_value), verify with
     bit_count(xor).
 
-    ``max_bucket`` drops (chunk_idx, chunk_val) buckets holding more than
-    that many docs before the self-join — the SAME boilerplate guard as
-    ``lsh_candidate_pairs``: a chunk value shared by a viral template puts
-    O(bucket²) rows on one join key, and without the cap the join is
-    quadratic in the hottest bucket. r6 evidence this guard is
-    load-bearing: the frequency-realistic 10×-input validation
+    ``max_bucket`` bounds the self-join's hottest key — the quadratic-
+    blowup guard as in ``lsh_candidate_pairs``: a chunk value shared by a
+    viral template puts O(bucket²) rows on one join key. r6 evidence the
+    guard is load-bearing: the frequency-realistic 10×-input validation
     (scripts/sf1_validate.py) read the UNcapped 16-bit oracle variant at
     38× cost for 10× rows — that variant's 4-bit chunks (16 possible
     values) saturate by construction at n ≳ 16·cap docs, which is exactly
     why it stays an oracle-semantics gate while THIS 64-bit capped path
-    (65536 values per chunk) is the production one. A dropped bucket can
-    hide true pairs whose other three chunks also differ; near-identical
-    docs agree on several chunks, so they survive via a cooler chunk —
-    the standard recall trade documented at ``lsh_candidate_pairs``."""
-    sh = with_simhash(df, text_col).select(id_col, "simhash")
+    (65536 values per chunk) is the production one.
+
+    Over-cap buckets are NOT dropped (dropping would lose EVERY pair of an
+    identical-doc viral cluster — all four chunks are equally hot, so no
+    cooler chunk rescues it). Instead they degrade to a STAR join: each
+    member pairs with the bucket's min-id anchor only — O(bucket) rows,
+    verified by the same Hamming filter. Identical-doc clusters link fully
+    (hamming 0 to the anchor) and stay one connected component for
+    ``dup_clusters``; single-linkage through an anchor is already CC's
+    semantics. Residual recall trade: in a DIVERSE hot bucket a pair may
+    be missed when neither doc is within ``max_hamming`` of the anchor
+    and this was their only shared chunk — strictly better than the
+    drop-the-bucket alternative, same spirit as ``lsh_candidate_pairs``.
+
+    The signature frame is localCheckpoint-ed before the fan-out: the
+    bucket census, the star side, and both quadratic join sides all
+    consume it, and without materialization each branch would re-run the
+    per-row pandas-UDF simhash over the full corpus (the repo's standard
+    persist-and-materialize-at-fan-out rule)."""
+    sh = (
+        with_simhash(df, text_col)
+        .select(id_col, "simhash")
+        .localCheckpoint()
+    )
     chunks = sh.select(
         id_col,
         "simhash",
@@ -619,24 +616,31 @@ def simhash_near_dup_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    bucket_counts = chunks.groupBy("chunk_idx", "chunk_val").agg(
-        F.count(F.lit(1)).alias("__n")
+    bucket_stats = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(id_col).alias("__aid"),
+        F.min_by("simhash", F.col(id_col)).alias("__asig"),
     )
-    ok = bucket_counts.filter(F.col("__n") <= max_bucket).drop("__n")
-    chunks = chunks.join(ok, ["chunk_idx", "chunk_val"], "left_semi")
-    a = chunks.select(
+    cool = bucket_stats.filter(F.col("__n") <= max_bucket).select(
+        "chunk_idx", "chunk_val"
+    )
+    hot = bucket_stats.filter(F.col("__n") > max_bucket).select(
+        "chunk_idx", "chunk_val", "__aid", "__asig"
+    )
+    cool_chunks = chunks.join(cool, ["chunk_idx", "chunk_val"], "left_semi")
+    a = cool_chunks.select(
         F.col(id_col).alias("id_a"),
         F.col("simhash").alias("sig_a"),
         "chunk_idx",
         "chunk_val",
     )
-    b = chunks.select(
+    b = cool_chunks.select(
         F.col(id_col).alias("id_b"),
         F.col("simhash").alias("sig_b"),
         "chunk_idx",
         "chunk_val",
     )
-    return (
+    cool_pairs = (
         a.join(b, ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
@@ -644,8 +648,21 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-        .distinct()
     )
+    # anchor is the bucket MIN id, so (anchor, member) is already ordered
+    star_pairs = (
+        chunks.join(hot, ["chunk_idx", "chunk_val"])
+        .filter(F.col(id_col) != F.col("__aid"))
+        .select(
+            F.col("__aid").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.bit_count(
+                F.col("simhash").bitwiseXOR(F.col("__asig"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return cool_pairs.unionByName(star_pairs).distinct()
 
 
 # --- transitive duplicate clusters ---------------------------------------------
@@ -681,17 +698,27 @@ def dup_clusters(
     right trade on preemptible/spot executors where losing a node mid-CC
     is expected, not exceptional. Same algorithm, same one-job-per-round
     shape — reliable checkpoints just add a write of the (small) label
-    frame per round.
+    frame per round. The SparkContext checkpoint directory is session-
+    global state: it is saved and restored around the call (so a caller's
+    own durable checkpoint dir is not silently redirected), and per-round
+    checkpoint files are left for the standard reaper
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=true``) or the
+    caller's dir lifecycle — the returned frame is itself backed by the
+    final round's checkpoint, so eager deletion here would corrupt it.
 
     ``pairs`` is assumed distinct on (id_a, id_b) — every producer in this
     module ends with ``.distinct()`` — so the symmetrized edge set skips its
     own dedup shuffle. Duplicate edges would only add join rows under the
     per-node ``min()``, never corrupt the labels.
     """
-    from pyspark.sql import functions as F
-
+    sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        # session-global state — restore the caller's dir on every exit
+        # path (all checkpoints are taken eagerly inside the loop, so the
+        # returned frame no longer needs the redirected setting)
+        prev_ckpt_dir = sc.getCheckpointDir()
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
             return df.checkpoint(eager=eager)
@@ -700,6 +727,14 @@ def dup_clusters(
         def _ckpt(df: DataFrame, eager: bool = True) -> DataFrame:
             return df.localCheckpoint(eager=eager)
 
+    try:
+        return _dup_clusters_loop(_ckpt, pairs, max_iter, ptr_jump_after)
+    finally:
+        if prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
+
+
+def _dup_clusters_loop(_ckpt, pairs, max_iter, ptr_jump_after):
     # Materialize the PAIRS once, then derive both edge directions from the
     # checkpointed blocks: symmetrizing first would put the full upstream
     # pair-generation lineage (shingle → signature → band join for the

@@ -64,11 +64,17 @@ class DedupIngestor:
         index_table: SnapshotTable,
         text_col: str = "text",
         id_col: str = "doc_id",
+        broadcast_hints: bool = True,
     ):
         self.data = data_table
         self.index = index_table
         self.text_col = text_col
         self.id_col = id_col
+        # True presumes BOUNDED micro-batches (the ingest_stream default
+        # caps files/trigger); set False for unbounded backfill batches so
+        # AQE picks broadcast-vs-shuffle from observed sizes — the hard
+        # hint has no fallback (see incremental_dedup's docstring)
+        self.broadcast_hints = broadcast_hints
 
     def ingest(self, batch: DataFrame, batch_id: str) -> dict:
         """Process one batch: drop docs whose normalized-text fingerprint
@@ -84,7 +90,12 @@ class DedupIngestor:
         if hist is None:
             hist = spark.createDataFrame([], f"{FP_COL} string")
         accepted = incremental_dedup(
-            batch, hist, self.text_col, self.id_col, history_fp_col=FP_COL
+            batch,
+            hist,
+            self.text_col,
+            self.id_col,
+            history_fp_col=FP_COL,
+            broadcast_hints=self.broadcast_hints,
         )
         # one computation feeds BOTH commits: the accepted set is
         # deterministic, but recomputing it per commit would scan the
@@ -111,6 +122,7 @@ def ingest_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_files_per_trigger: int | None = 64,
+    broadcast_hints: bool = True,
 ):
     """The continuous-ingestion daemon shape: ``readStream`` over a
     document directory → ``foreachBatch`` → :class:`DedupIngestor` — the
@@ -132,9 +144,15 @@ def ingest_stream(
     hard broadcast hints (safe only for bounded micro-batches) could
     exceed the broadcast limit with no fallback. Pass ``None`` explicitly
     to drain a backlog in one batch — only with an upstream size
-    guarantee, or after switching the ingestor to
-    ``broadcast_hints=False`` semantics."""
-    ingestor = DedupIngestor(data_table, index_table, text_col, id_col)
+    guarantee, or together with ``broadcast_hints=False`` so AQE sizes
+    the joins from observed stats instead of the hard hint."""
+    ingestor = DedupIngestor(
+        data_table,
+        index_table,
+        text_col,
+        id_col,
+        broadcast_hints=broadcast_hints,
+    )
 
     def _batch(df: DataFrame, batch_id: int):
         ingestor.ingest(df, f"batch-{batch_id:08d}")

@@ -162,9 +162,9 @@ def cap_rank(
 ) -> Column:
     """THE canonical per-group survivor rank used by ``cap_per_group``:
     row_number within ``group_col`` ordered by (md5(salt || id), id).
-    Single definition — consumers deriving the complementary DROP set
-    (``cap_drop_ids``, curation's audit trail) must rank identically or
-    keep/drop silently desync; the DuckDB oracles replay this formula.
+    Single definition — any consumer deriving the complementary DROP set
+    (curation's audit trail) must rank identically or keep/drop silently
+    desync; the DuckDB oracles replay this formula.
 
     Precondition: ids are UNIQUE within a group (the universal contract of
     these tables). Duplicate or multiple-NULL ids tie on BOTH ordering
@@ -186,26 +186,6 @@ def cap_rank(
         salted_md5(id_col, salt), F.col(id_col)
     )
     return F.row_number().over(w)
-
-
-def cap_drop_ids(
-    df: DataFrame,
-    group_col: str,
-    id_col: str,
-    cap: int,
-    salt: str = "cap",
-) -> DataFrame:
-    """The id set ``cap_per_group`` removes (rank > cap) — the small DROP
-    frame for audit consumers, complementary by construction (same rank
-    expression, same validation: cap < 1 raises rather than silently
-    dropping the whole corpus)."""
-    if cap < 1:
-        raise ValueError(f"cap must be >= 1, got {cap}")
-    return (
-        df.withColumn("__rn", cap_rank(group_col, id_col, salt))
-        .filter(F.col("__rn") > cap)
-        .select(id_col)
-    )
 
 
 def mixture_stats(

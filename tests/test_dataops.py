@@ -173,12 +173,14 @@ def test_simhash_pairs(docs):
 
 
 def test_simhash_pairs_bucket_cap(spark):
-    """max_bucket is the boilerplate guard (r6 — the sf1 realistic-twin
-    validation read the UNcapped formulation at 38x cost for 10x rows): a
-    viral cluster of identical docs saturates every one of its chunk
-    buckets past the cap and produces NO pairs, while a genuine near-dup
-    pair in cool buckets survives; the uncapped run finds the viral
-    cluster's quadratic pair set."""
+    """max_bucket is the quadratic-blowup guard (r6 — the sf1
+    realistic-twin validation read the UNcapped formulation at 38x cost
+    for 10x rows): a viral cluster of identical docs saturates every one
+    of its chunk buckets past the cap, which degrades to the linear
+    STAR join — each member linked to the min-id anchor only (29 pairs,
+    not 435), keeping the cluster one connected component — while a
+    genuine near-dup pair in cool buckets gets the full quadratic
+    treatment."""
     viral = [(i, "the viral marketing template spreads everywhere") for i in range(30)]
     distinct = [
         (100, "quantum physics lecture notes alpha beta gamma delta"),
@@ -192,9 +194,16 @@ def test_simhash_pairs_bucket_cap(spark):
         .itertuples()
     }
     assert (100, 101) in capped
-    assert all(a >= 100 for a, _ in capped), capped  # viral buckets dropped
+    star = {(a, b) for a, b in capped if a < 100}
+    assert star == {(0, i) for i in range(1, 30)}, star  # star, not O(n^2)
     full = dedup.simhash_near_dup_pairs(docs, max_bucket=10**9).toPandas()
-    assert len(full) >= len(capped) + 30 * 29 // 2  # quadratic set was real
+    assert len(full) >= 30 * 29 // 2 + 1  # quadratic set was real
+    # star-linked cluster is the SAME connected component as the full run
+    cl = dedup.dup_clusters(
+        dedup.simhash_near_dup_pairs(docs, max_bucket=10)
+    ).toPandas()
+    viral_cl = cl[cl.id < 100].cluster_id.unique()
+    assert len(viral_cl) == 1 and viral_cl[0] == 0
 
 
 def _py_simhash16(text: str) -> int:
