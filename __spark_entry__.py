@@ -612,6 +612,20 @@ def q_stratified_sample(spark, sf_dir):
     ).select("event_id", "event_type")
 
 
+def q_temperature_resample(spark, sf_dir):
+    """α-temperature mixture resampling (the data-mixing rebalance):
+    per-source keep rate min(1, tf·N·n^α/Σn^α/n) with the canonical md5
+    bucket deciding each row — deterministic, partitioning-independent,
+    and exactly replayed by the DuckDB oracle (same formula, same
+    operation order, same libm in this container)."""
+    from punt_spark.dataops.sampling import temperature_resample
+
+    d = _t(spark, sf_dir, "documents")
+    return temperature_resample(
+        d, "source", "doc_id", alpha=0.5, target_frac=0.5
+    ).select("doc_id", "source")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 on the 16-bit md5-nibble
     simhash): pigeonhole banding — 4 chunks of 4 bits, a ham≤3 pair must
@@ -1051,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "temperature_resample": q_temperature_resample,
         "source_cap": q_source_cap,
         "mixture_stats": q_mixture_stats,
         "idf_score": q_idf_score,
@@ -1762,6 +1777,28 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'signup' THEN 5000
                       WHEN 'error' THEN 1000
                       ELSE 2500 END
+        """,
+        # replayed with the SAME operation order as the Spark expression
+        # (tf * N * pow(n, a) / z / n, left-assoc) so the doubles match
+        # bit for bit on this container's shared libm
+        "temperature_resample": """
+            WITH c AS (
+                SELECT COALESCE(source, chr(0) || 'null') AS sk,
+                       CAST(count(*) AS DOUBLE) AS n
+                FROM documents GROUP BY 1
+            ),
+            t AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS N FROM c),
+            r AS (
+                SELECT sk, least(1.0, 0.5 * t.N * pow(c.n, 0.5)
+                                      / t.z / c.n) AS p
+                FROM c, t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d
+            JOIN r ON COALESCE(d.source, chr(0) || 'null') = r.sk
+            WHERE ('0x' || substr(md5('mix' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+                  < round(r.p * 10000)
         """,
         "alert_actions": """
             SELECT time_bucket(INTERVAL '60 seconds', ts) AS window_start,

@@ -3,20 +3,20 @@
 The Spark-side plumbing is real and tested — schema, partition-friendly
 batching, ``mapInPandas`` UDF signatures, Arrow batch shapes. Codecs:
 
-* ``decode_mode="real"`` decodes WAV audio (stdlib ``wave``) and 24-bit
-  BMP images (minimal reader/writer below — no external media libs), with
-  real DSP/pixel features and a real nearest-neighbor image resize. A
-  payload that isn't valid WAV/BMP records ``decode_ok=False`` with the
-  error (per-row error columns, same totality model as the parse stage —
-  one bad blob never kills a 100 TB job).
-* Video: frame EXTRACTION is real for MJPEG-in-AVI — a stdlib RIFF
-  walker (below) parses the container and emits each ``00dc``/``00db``
-  movi chunk as an opaque JPEG frame, no ffmpeg needed; pixel DECODE of
-  those JPEG frames still needs an image codec this container lacks, so
-  the video feature in ``extract_features`` is compressed-domain (a byte
-  histogram over the extracted frame stream — real structure, honestly
-  not pixels) and non-AVI/non-MJPEG payloads take the per-row error
-  path.
+* ``decode_mode="real"`` decodes WAV audio (stdlib ``wave``), 24-bit BMP
+  images (minimal reader/writer below), and baseline JPEG images (the
+  pure-numpy T.81 codec in ``dataops.jpeg``) — no external media libs —
+  with real DSP/pixel features and a real nearest-neighbor image resize.
+  A payload that isn't valid WAV/BMP/JPEG records ``decode_ok=False``
+  with the error (per-row error columns, same totality model as the
+  parse stage — one bad blob never kills a 100 TB job).
+* Video: MJPEG-in-AVI end to end — a stdlib RIFF walker (below) parses
+  the container and emits each ``00dc``/``00db`` movi chunk as a JPEG
+  frame, and the ``dataops.jpeg`` decoder turns sampled frames into
+  PIXELS, so the video feature in ``extract_features`` is a real
+  luma-distribution feature over decoded frames (it was a
+  compressed-domain byte histogram before the codec existed).
+  Non-AVI/non-baseline-JPEG payloads take the per-row error path.
 * ``decode_mode="fake"`` produces a deterministic hash-derived feature
   vector with the production schema — the schema-true path for opaque
   payloads.
@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from punt_spark.dataops.jpeg import jpeg_decode, jpeg_encode
+
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
     "width int, height int, duration_ms int"
@@ -55,6 +57,11 @@ THUMB_SCHEMA = (
 FRAME_SCHEMA = (
     "media_id long, frame_idx int, frame_ts_ms int, frame binary, "
     "decode_ok boolean, decode_error string"
+)
+
+FRAME_PIXEL_SCHEMA = (
+    "media_id long, frame_idx int, width int, height int, "
+    "mean_luma float, std_luma float, decode_ok boolean, decode_error string"
 )
 
 
@@ -250,22 +257,45 @@ def _audio_feature(samples: np.ndarray, dim: int) -> np.ndarray:
 def _image_feature(arr: np.ndarray, dim: int) -> np.ndarray:
     """Real image feature: ``dim``-bin grayscale intensity histogram,
     L2-normalized."""
-    gray = arr.astype(np.float32).mean(axis=2)
+    gray = (
+        arr.astype(np.float32).mean(axis=2)
+        if arr.ndim == 3
+        else arr.astype(np.float32)
+    )
     hist, _ = np.histogram(gray, bins=dim, range=(0.0, 255.0))
     v = hist.astype(np.float32)
     norm = np.linalg.norm(v)
     return v / norm if norm > 0 else v
 
 
-def _video_feature(payload: bytes, dim: int) -> np.ndarray:
-    """Real COMPRESSED-DOMAIN video feature: ``dim``-bin byte-value
-    histogram over the MJPEG frame stream extracted by the RIFF walker,
-    L2-normalized. Honest scope: this fingerprints the actual video
-    structure (frame chunks, their bytes) without pixel decode — JPEG
-    pixel decode would need an image codec this container lacks."""
+def image_decode(payload: bytes) -> np.ndarray:
+    """Format-sniffing image decode: JPEG (SOI magic) via the pure-numpy
+    ``dataops.jpeg`` codec, else 24-bit BMP. Raises ValueError for
+    anything else — the per-row error path of every caller."""
+    if payload[:2] == b"\xff\xd8":
+        return jpeg_decode(payload)
+    return bmp_decode(payload)
+
+
+def _video_feature(payload: bytes, dim: int, max_frames: int = 4) -> np.ndarray:
+    """Real PIXEL-domain video feature: decode up to ``max_frames``
+    evenly-spaced MJPEG frames (RIFF walk → ``dataops.jpeg`` decode) and
+    histogram their luma over ``dim`` bins, L2-normalized — a coarse
+    brightness signature of the actual picture content. (Before the
+    numpy JPEG codec existed this was a compressed-domain byte
+    histogram; the byte-level variant survives as the explicit
+    fingerprint in tests, not as the feature.)"""
     _us, frames = avi_walk(payload)
-    arr = np.frombuffer(b"".join(frames), dtype=np.uint8)
-    hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    idx = np.unique(
+        np.linspace(0, len(frames) - 1, min(max_frames, len(frames))).astype(int)
+    )
+    lumas = []
+    for i in idx:
+        arr = jpeg_decode(frames[i])
+        lumas.append(
+            (arr.astype(np.float32).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float32)).ravel()
+        )
+    hist, _ = np.histogram(np.concatenate(lumas), bins=dim, range=(0.0, 255.0))
     v = hist.astype(np.float32)
     norm = np.linalg.norm(v)
     return v / norm if norm > 0 else v
@@ -276,7 +306,7 @@ def _real_feature(kind: str, payload: bytes, dim: int) -> np.ndarray:
         samples, _rate = wav_decode(payload)
         return _audio_feature(samples, dim)
     if kind == "image":
-        return _image_feature(bmp_decode(payload), dim)
+        return _image_feature(image_decode(payload), dim)
     return _video_feature(payload, dim)
 
 
@@ -292,10 +322,12 @@ def _nn_resize(arr: np.ndarray, max_side: int) -> np.ndarray:
 
 def synth_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
     """Media fixture with DECODE-ABLE payloads: real 16-bit PCM WAVs (sine
-    tones), real 24-bit BMPs (gradient patterns), and real MJPEG-in-AVI
-    videos (RIFF container with pseudo-JPEG frame chunks — SOI/EOI framed
-    random bytes, since the frames stay opaque downstream). Deterministic
-    in ``seed``."""
+    tones), real images alternating 24-bit BMP and baseline JPEG
+    (gradient patterns — exercises the format sniffing in
+    ``image_decode``), and real MJPEG-in-AVI videos whose frame chunks
+    are genuine baseline JPEGs (16×16 gradients whose brightness ramps
+    across frames, so pixel-domain features vary per video).
+    Deterministic in ``seed``."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -319,15 +351,24 @@ def synth_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
                 ],
                 axis=2,
             )
-            payload = bmp_encode(arr)
+            payload = bmp_encode(arr) if (i // 3) % 2 == 0 else jpeg_encode(arr)
             dur_ms = 0
         else:
             n_frames = int(rng.integers(4, 16))
             us_per_frame = 100_000  # 10 fps
-            frames = [
-                b"\xff\xd8" + rng.bytes(int(rng.integers(24, 96))) + b"\xff\xd9"
-                for _ in range(n_frames)
-            ]
+            fy, fx = np.mgrid[0:16, 0:16]
+            frames = []
+            for f in range(n_frames):
+                base = (i * 37 + f * 140 // max(n_frames - 1, 1)) % 200
+                frame = np.stack(
+                    [
+                        np.clip(base + fx * 3, 0, 255).astype(np.uint8),
+                        np.clip(base + fy * 3, 0, 255).astype(np.uint8),
+                        np.full((16, 16), base, dtype=np.uint8),
+                    ],
+                    axis=2,
+                )
+                frames.append(jpeg_encode(frame, quality=85))
             payload = avi_encode(frames, us_per_frame)
             w = h = 0
             dur_ms = n_frames * us_per_frame // 1000
@@ -388,8 +429,9 @@ def extract_features(
 def resize_images(
     df: DataFrame, max_side: int = 64, decode_mode: str = "fake"
 ) -> DataFrame:
-    """image rows → thumbnails. Real mode: BMP decode → nearest-neighbor
-    downscale → BMP re-encode (stdlib-only; a non-BMP payload records
+    """image rows → thumbnails. Real mode: sniffing decode (baseline JPEG
+    or 24-bit BMP) → nearest-neighbor downscale → re-encode in the SAME
+    format (no external libs; an undecodable payload records
     ``decode_ok=False``). Fake mode: payload truncated to a deterministic
     length (schema-true placeholder)."""
 
@@ -399,10 +441,13 @@ def resize_images(
             for _, row in pdf.iterrows():
                 if decode_mode == "real":
                     try:
-                        arr = _nn_resize(
-                            bmp_decode(bytes(row["payload"])), max_side
+                        payload = bytes(row["payload"])
+                        arr = _nn_resize(image_decode(payload), max_side)
+                        thumbs.append(
+                            jpeg_encode(arr)
+                            if payload[:2] == b"\xff\xd8"
+                            else bmp_encode(arr)
                         )
-                        thumbs.append(bmp_encode(arr))
                         hs.append(arr.shape[0])
                         ws.append(arr.shape[1])
                         oks.append(True)
@@ -482,3 +527,51 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").mapInPandas(run, FRAME_SCHEMA)
+
+
+def frame_pixel_stats(frames_df: DataFrame) -> DataFrame:
+    """sampled-frames table (:func:`sample_frames` output) → per-frame
+    PIXEL statistics via the pure-numpy JPEG decoder: dimensions, mean
+    and std of luma. Map-only ``mapInPandas`` — frame bytes never
+    shuffle, only the small stat rows flow downstream; a frame the
+    baseline decoder can't read records ``decode_ok=False`` with the
+    error (per-row totality, as everywhere in this module)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, means, stds, oks, errs = [], [], [], [], [], []
+            for frame in pdf["frame"]:
+                try:
+                    arr = jpeg_decode(bytes(frame))
+                    luma = (
+                        arr.astype(np.float32).mean(axis=2)
+                        if arr.ndim == 3
+                        else arr.astype(np.float32)
+                    )
+                    hs.append(luma.shape[0])
+                    ws.append(luma.shape[1])
+                    means.append(float(luma.mean()))
+                    stds.append(float(luma.std()))
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:
+                    ws.append(0)
+                    hs.append(0)
+                    means.append(None)
+                    stds.append(None)
+                    oks.append(False)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "width": ws,
+                    "height": hs,
+                    "mean_luma": means,
+                    "std_luma": stds,
+                    "decode_ok": oks,
+                    "decode_error": errs,
+                }
+            )
+
+    return frames_df.mapInPandas(run, FRAME_PIXEL_SCHEMA)

@@ -125,6 +125,83 @@ def stratified_sample(
     return df.filter(b < thresh)
 
 
+def temperature_resample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "mix",
+    buckets: int = BUCKETS,
+) -> DataFrame:
+    """Temperature-based mixture resampling — the standard data-mixing
+    move for multi-source training corpora: sample source ``s`` with
+    weight ∝ n_s^α, flattening the natural size distribution (α=1 keeps
+    the natural mixture, i.e. every source keeps ``target_frac``; α=0
+    targets a uniform mixture over sources; 0<α<1 up-weights rare
+    sources relative to dominant ones, the usual multilingual/domain
+    rebalancing curve).
+
+    Per-source keep rate: p_s = min(1, target_frac · N · w_s / n_s) with
+    w_s = n_s^α / Σ n_s^α — expected kept total ≈ target_frac · N, with
+    rare sources capped at keeping everything (p_s = 1) rather than
+    upsampled (no row duplication; a true upsampler is a different op).
+    The per-row decision is the canonical md5 bucket of (salt, id) —
+    deterministic, partitioning-independent, DuckDB-replayable, the same
+    no-engine-RNG contract as every sampler here. NULL sources group and
+    join via the same "\\x00null" sentinel as ``hash_bucket`` (a
+    null-unsafe join would silently drop every NULL-source row).
+
+    Shape at 100 TB: one map-side-combinable groupBy on source for the
+    counts, a 1-row broadcast for the normalizer, a join of the per-source
+    rate frame back onto the corpus (one row per source — AQE broadcasts
+    it when small, shuffles when a web-scale domain list isn't; no hard
+    hint, per the curation policy), then a native filter. No window, no
+    global sort, no Python.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    skey = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    counts = (
+        df.select(skey.alias("__sk"))
+        .groupBy("__sk")
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    )
+    norm = counts.agg(
+        F.sum(F.pow(F.col("__n"), F.lit(alpha))).alias("__z"),
+        F.sum("__n").alias("__N"),
+    )
+    # DataFrame-qualified refs: norm derives FROM counts, and in that
+    # self-join shape Spark 4 reports even a uniquely-named column as
+    # AMBIGUOUS_REFERENCE when addressed by bare name
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        counts["__sk"],
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * norm["__N"]
+            * F.pow(counts["__n"], F.lit(alpha))
+            / norm["__z"]
+            / counts["__n"],
+        ).alias("__p"),
+    )
+    b = hash_bucket(id_col, salt, buckets)
+    # threshold is ROUNDED to an integer bucket count on both engines:
+    # JVM Math.pow and DuckDB's libm pow are each within 1 ulp but not
+    # guaranteed bit-identical, and ulp dust on p·buckets sits exactly at
+    # the integer boundaries the bucket comparison reads — round() (half-
+    # up == half-away for positives, so both engines agree) collapses
+    # that dust; nothing structural lands at half-integers
+    return (
+        df.withColumn("__sk", skey)
+        .join(rates, "__sk")
+        .filter(b < F.round(F.col("__p") * buckets))
+        .drop("__sk", "__p")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

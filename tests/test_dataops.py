@@ -776,11 +776,48 @@ def test_multimodal_real_decode(spark):
     media = multimodal.synth_real_media_df(spark, n=24)
     feats = multimodal.extract_features(media, dim=16, decode_mode="real").toPandas()
     by_kind = feats.groupby("kind")["decode_ok"].all()
-    # all three kinds decode: WAV + BMP pixel-domain, AVI compressed-domain
+    # all three kinds decode pixel/sample-domain: WAV, BMP/JPEG images
+    # (fixture alternates formats), AVI whose frames the numpy JPEG
+    # codec decodes to pixels
     assert by_kind["audio"] and by_kind["image"] and by_kind["video"]
     ok = feats[feats["decode_ok"]]
     assert all(len(v) == 16 for v in ok["feat"])
     assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in ok["feat"])
+    # pixel-domain video features: different brightness ramps → the two
+    # videos' luma histograms actually differ (a byte histogram over
+    # near-identical container bytes would not be pinned to pixels)
+    vids = ok[ok["kind"] == "video"].sort_values("media_id")["feat"].tolist()
+    assert len(vids) >= 2
+    assert not np.allclose(vids[0], vids[1])
+
+
+def test_frame_pixel_stats(spark):
+    """sample_frames → frame_pixel_stats: the numpy JPEG decoder turns
+    sampled MJPEG frames into real pixel statistics; the fixture's
+    brightness ramp across frames must show up in mean_luma."""
+    media = multimodal.synth_real_media_df(spark, n=24)
+    frames = multimodal.sample_frames(
+        media, every_ms=100, max_frames=8, decode_mode="real"
+    )
+    stats = multimodal.frame_pixel_stats(frames).toPandas()
+    assert stats["decode_ok"].all()
+    assert (stats["width"] == 16).all() and (stats["height"] == 16).all()
+    assert stats["mean_luma"].between(0, 255).all()
+    ramped = 0
+    for _mid, g in stats.groupby("media_id"):
+        g = g.sort_values("frame_idx")
+        if len(g) >= 3 and g["mean_luma"].is_monotonic_increasing:
+            ramped += 1
+    # the fixture ramps base brightness with frame index (mod 200), so
+    # most videos' sampled prefix is monotone in mean luma
+    assert ramped >= 1
+    # corrupt frame → per-row error, not a job abort
+    bad = frames.limit(1).withColumn(
+        "frame", F.lit(bytearray(b"\xff\xd8 not a real jpeg"))
+    )
+    bstats = multimodal.frame_pixel_stats(bad).toPandas()
+    assert not bstats["decode_ok"].any()
+    assert bstats["decode_error"].notna().all()
 
 
 def test_avi_walker_roundtrip():
@@ -824,10 +861,15 @@ def test_multimodal_real_resize(spark):
     assert len(thumbs) == media.filter(F.col("kind") == "image").count()
     assert thumbs["decode_ok"].all()
     assert (thumbs[["thumb_w", "thumb_h"]].max(axis=1) <= 16).all()
-    # thumbnails are themselves valid BMPs with the recorded dimensions
+    # thumbnails decode in the SAME format as their source (the fixture
+    # alternates BMP and JPEG images) with the recorded dimensions
+    formats = set()
     for _, r in thumbs.iterrows():
-        arr = multimodal.bmp_decode(bytes(r["thumb"]))
+        raw = bytes(r["thumb"])
+        formats.add("jpeg" if raw[:2] == b"\xff\xd8" else "bmp")
+        arr = multimodal.image_decode(raw)
         assert arr.shape == (r["thumb_h"], r["thumb_w"], 3)
+    assert formats == {"bmp", "jpeg"}
 
 
 def test_multimodal_real_mode_opaque_payloads(spark):
@@ -1080,6 +1122,58 @@ def test_cap_per_group(spark):
     assert set(out["doc_id"]) == set(again["doc_id"])
     with pytest.raises(ValueError, match="cap must be"):
         cap_per_group(df, "source", "doc_id", cap=0)
+
+
+def test_temperature_resample(spark):
+    """α-temperature mixture resampling: deterministic md5-bucket keep
+    decisions, rare sources up-weighted relative to dominant ones for
+    α<1, α=1 degenerating to the natural mixture, and NULL sources kept
+    via the sentinel key (not silently join-dropped)."""
+    from punt_spark.dataops.sampling import temperature_resample
+
+    rows = (
+        [(i, "heavy") for i in range(800)]
+        + [(1000 + i, "mid") for i in range(150)]
+        + [(2000 + i, "rare") for i in range(40)]
+        + [(3000 + i, None) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_resample(
+        df, "source", "doc_id", alpha=0.5, target_frac=0.5
+    ).toPandas()
+    assert set(out.columns) == {"doc_id", "source"}
+    kept = out.fillna({"source": "<null>"}).groupby("source").size()
+    # α=0.5 flattens: rare sources keep a HIGHER fraction than heavy ones
+    frac = {
+        "heavy": kept.get("heavy", 0) / 800,
+        "mid": kept.get("mid", 0) / 150,
+        "rare": kept.get("rare", 0) / 40,
+        "<null>": kept.get("<null>", 0) / 10,
+    }
+    assert frac["rare"] > frac["mid"] > frac["heavy"] > 0
+    assert frac["<null>"] > 0  # NULL-source rows survive via the sentinel
+    # overall volume lands near target_frac (md5 buckets are uniform)
+    assert 0.35 < len(out) / 1000 < 0.65
+    # deterministic and partitioning-independent
+    again = temperature_resample(
+        df.repartition(7), "source", "doc_id", alpha=0.5, target_frac=0.5
+    ).toPandas()
+    assert set(out["doc_id"]) == set(again["doc_id"])
+    # α=1: natural mixture — every source keeps ≈ target_frac, and the
+    # keep set is EXACTLY the md5-bucket prefix, independent of source
+    # (target_frac=0.5 is binary-exact, so p_s == 0.5 with no float dust
+    # at the bucket boundary)
+    nat = temperature_resample(
+        df, "source", "doc_id", alpha=1.0, target_frac=0.5
+    ).toPandas()
+    from punt_spark.dataops.sampling import hash_bucket
+
+    expect = df.filter(hash_bucket("doc_id", "mix") < 5000).toPandas()
+    assert set(nat["doc_id"]) == set(expect["doc_id"])
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_resample(df, "source", "doc_id", alpha=1.5)
+    with pytest.raises(ValueError, match="target_frac"):
+        temperature_resample(df, "source", "doc_id", target_frac=0.0)
 
 
 def test_mixture_stats(spark):
