@@ -86,6 +86,7 @@ OP_QUERIES = [
     "bpe_pair_counts",
     "embedding_quantize",
     "trim_repeated_spans",
+    "temperature_resample",
 ]
 
 
