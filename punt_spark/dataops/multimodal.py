@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from punt_spark.dataops.jpeg import jpeg_decode, jpeg_encode
+from punt_spark.dataops.png import png_decode, png_encode
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
@@ -270,10 +271,13 @@ def _image_feature(arr: np.ndarray, dim: int) -> np.ndarray:
 
 def image_decode(payload: bytes) -> np.ndarray:
     """Format-sniffing image decode: JPEG (SOI magic) via the pure-numpy
-    ``dataops.jpeg`` codec, else 24-bit BMP. Raises ValueError for
+    ``dataops.jpeg`` codec, PNG (signature) via the stdlib-zlib
+    ``dataops.png`` codec, else 24-bit BMP. Raises ValueError for
     anything else — the per-row error path of every caller."""
     if payload[:2] == b"\xff\xd8":
         return jpeg_decode(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_decode(payload)
     return bmp_decode(payload)
 
 
@@ -322,7 +326,7 @@ def _nn_resize(arr: np.ndarray, max_side: int) -> np.ndarray:
 
 def synth_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
     """Media fixture with DECODE-ABLE payloads: real 16-bit PCM WAVs (sine
-    tones), real images alternating 24-bit BMP and baseline JPEG
+    tones), real images rotating 24-bit BMP / baseline JPEG / 8-bit PNG
     (gradient patterns — exercises the format sniffing in
     ``image_decode``), and real MJPEG-in-AVI videos whose frame chunks
     are genuine baseline JPEGs (16×16 gradients whose brightness ramps
@@ -351,7 +355,13 @@ def synth_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
                 ],
                 axis=2,
             )
-            payload = bmp_encode(arr) if (i // 3) % 2 == 0 else jpeg_encode(arr)
+            fmt = ("bmp", "jpeg", "png")[(i // 3) % 3]
+            payload = {
+                "bmp": bmp_encode,
+                "jpeg": jpeg_encode,
+                "png": png_encode,
+            }[fmt](arr)
+            img_mime = {"bmp": "image/bmp", "jpeg": "image/jpeg", "png": "image/png"}[fmt]
             dur_ms = 0
         else:
             n_frames = int(rng.integers(4, 16))
@@ -372,7 +382,11 @@ def synth_real_media_df(spark, n: int = 24, seed: int = 42) -> DataFrame:
             payload = avi_encode(frames, us_per_frame)
             w = h = 0
             dur_ms = n_frames * us_per_frame // 1000
-        mime = {"audio": "audio/wav", "image": "image/bmp", "video": "video/x-msvideo"}[kind]
+        mime = (
+            img_mime
+            if kind == "image"
+            else {"audio": "audio/wav", "video": "video/x-msvideo"}[kind]
+        )
         rows.append((i, kind, bytearray(payload), mime, w, h, dur_ms))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -429,9 +443,9 @@ def extract_features(
 def resize_images(
     df: DataFrame, max_side: int = 64, decode_mode: str = "fake"
 ) -> DataFrame:
-    """image rows → thumbnails. Real mode: sniffing decode (baseline JPEG
-    or 24-bit BMP) → nearest-neighbor downscale → re-encode in the SAME
-    format (no external libs; an undecodable payload records
+    """image rows → thumbnails. Real mode: sniffing decode (baseline JPEG,
+    PNG, or 24-bit BMP) → nearest-neighbor downscale → re-encode in the
+    SAME format (no external libs; an undecodable payload records
     ``decode_ok=False``). Fake mode: payload truncated to a deterministic
     length (schema-true placeholder)."""
 
@@ -443,11 +457,12 @@ def resize_images(
                     try:
                         payload = bytes(row["payload"])
                         arr = _nn_resize(image_decode(payload), max_side)
-                        thumbs.append(
-                            jpeg_encode(arr)
-                            if payload[:2] == b"\xff\xd8"
-                            else bmp_encode(arr)
-                        )
+                        if payload[:2] == b"\xff\xd8":
+                            thumbs.append(jpeg_encode(arr))
+                        elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                            thumbs.append(png_encode(arr))
+                        else:
+                            thumbs.append(bmp_encode(arr))
                         hs.append(arr.shape[0])
                         ws.append(arr.shape[1])
                         oks.append(True)

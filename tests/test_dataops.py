@@ -862,14 +862,19 @@ def test_multimodal_real_resize(spark):
     assert thumbs["decode_ok"].all()
     assert (thumbs[["thumb_w", "thumb_h"]].max(axis=1) <= 16).all()
     # thumbnails decode in the SAME format as their source (the fixture
-    # alternates BMP and JPEG images) with the recorded dimensions
+    # rotates BMP / JPEG / PNG images) with the recorded dimensions
     formats = set()
     for _, r in thumbs.iterrows():
         raw = bytes(r["thumb"])
-        formats.add("jpeg" if raw[:2] == b"\xff\xd8" else "bmp")
+        if raw[:2] == b"\xff\xd8":
+            formats.add("jpeg")
+        elif raw[:8] == b"\x89PNG\r\n\x1a\n":
+            formats.add("png")
+        else:
+            formats.add("bmp")
         arr = multimodal.image_decode(raw)
         assert arr.shape == (r["thumb_h"], r["thumb_w"], 3)
-    assert formats == {"bmp", "jpeg"}
+    assert formats == {"bmp", "jpeg", "png"}
 
 
 def test_multimodal_real_mode_opaque_payloads(spark):
