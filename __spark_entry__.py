@@ -1018,6 +1018,20 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table in the
+    deterministic anchor-centroid mode: 8 fixed centroids (lowest 8
+    vec_ids), threshold 0.30 (drops 191/500 on the fixture — sims top out
+    ~0.49, so 0.30 is discriminative in both directions). Emits the full
+    per-row decision frame (cluster, centroid sim, is_dup)."""
+    from punt_spark.dataops.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_clusters=8, threshold=0.30).select(
+        "vec_id", "cluster", "centroid_sim", "is_dup"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
@@ -1057,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "alert_actions": q_alert_actions,
@@ -1844,5 +1859,40 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 50
               AND round({_cosine_sql('a.embedding', 'b.embedding')}, 2) >= 0.40
+        """,
+        # SemDeDup, anchor-centroid mode: assign each vector to the
+        # most-cosine-similar of the 8 lowest-id embeddings (rounded sim,
+        # centroid-id tie-break), then inside each cluster drop a member
+        # iff some member EARLIER in ascending (centroid_sim, id) order is
+        # cosine >= 0.30 to it (upper-triangular-max rule; earlier members
+        # shadow later ones whether or not they survive).
+        "semantic_dedup": f"""
+            WITH c AS (SELECT vec_id AS cid, embedding AS cv
+                       FROM embeddings ORDER BY vec_id LIMIT 8),
+            s AS (SELECT e.vec_id,
+                         c.cid,
+                         round({_cosine_sql('e.embedding', 'c.cv')}, 2)
+                             AS csim_r,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY round({_cosine_sql('e.embedding',
+                                                         'c.cv')}, 2) DESC,
+                                      c.cid) AS rn
+                  FROM embeddings e CROSS JOIN c),
+            a AS (SELECT vec_id, cid AS cluster, csim_r
+                  FROM s WHERE rn = 1),
+            d AS (SELECT DISTINCT later.vec_id
+                  FROM a early
+                  JOIN a later ON early.cluster = later.cluster
+                   AND (early.csim_r < later.csim_r
+                        OR (early.csim_r = later.csim_r
+                            AND early.vec_id < later.vec_id))
+                  JOIN embeddings ea ON ea.vec_id = early.vec_id
+                  JOIN embeddings eb ON eb.vec_id = later.vec_id
+                  WHERE round({_cosine_sql('ea.embedding', 'eb.embedding')},
+                              2) >= 0.30)
+            SELECT a.vec_id, a.cluster, a.csim_r AS centroid_sim,
+                   (a.vec_id IN (SELECT vec_id FROM d)) AS is_dup
+            FROM a
         """,
     }

@@ -475,3 +475,208 @@ def ivf_topk_quantized(
         qv, qq, k, n_cells, nprobe, vec_col, id_col, query_id_col, seed,
         index=index,
     )
+
+
+# --- semantic dedup (SemDeDup) -----------------------------------------------
+
+
+def anchor_centroids(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic coarse "centroids": the embeddings of the
+    ``n_clusters`` lowest ids, keyed by that id. NOT k-means — a
+    zero-training, oracle-replayable quantizer for gates/tests and a
+    fallback when no trained index is wanted; production semantic dedup
+    passes an :func:`ivf_index` instead. Tiny by contract (broadcast by
+    every consumer)."""
+    return (
+        vectors.orderBy(id_col)
+        .limit(n_clusters)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    index=None,
+    round_dp: int = 2,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space coarsely, then drop semantic near-duplicates WITHIN
+    each cluster only — the cluster bound is what removes the O(n²)
+    all-pairs compare that a global cosine dedup would need.
+
+    Returns every input row as ``(id, cluster, centroid_sim, is_dup)``;
+    callers anti-filter ``is_dup`` for the kept corpus (dedup.py audit
+    convention: emit the decision, let the pipeline apply it).
+
+    Keep rule (the paper's best-performing choice + a total order for
+    determinism): within a cluster, process members in ascending
+    ``(round(centroid_sim, round_dp), id)`` — LOW centroid similarity
+    first, i.e. keep the "edge" examples — and drop a member iff its
+    cosine to ANY earlier member rounds to ≥ ``threshold``. Earlier
+    members shadow later ones whether or not they themselves survive
+    (the upper-triangular-max formulation of the reference
+    implementation), so the rule is a pure pairwise predicate — no
+    sequential scan, and the DuckDB oracle replays it exactly.
+
+    Scale shape (100 TB): clustering is map-side in both modes (anchor
+    centroids inline as literal arrays — no crossJoin fan-out, no argmax
+    shuffle; kmeans assigns via the model's transform); the only shuffle
+    keys on ``cluster``;
+    the pair join costs O(Σ cᵢ²), bounded by choosing
+    ``n_clusters ∝ corpus`` so E[cᵢ] stays ~10³ (the paper runs 50k
+    clusters for LAION). A viral cluster (near-identical spam) past
+    ``max_cluster`` degrades to a STAR join against the cluster's
+    first-in-order member — O(cᵢ) rows, identical-doc clusters still
+    fully dropped down to the one anchor; the residual recall trade for
+    DIVERSE hot clusters is the same one ``simhash_near_dup_pairs``
+    documents. ``index=None`` uses :func:`anchor_centroids`
+    (deterministic, oracle-replayable); pass an :func:`ivf_index` pair
+    for trained centroids.
+    """
+    if index is not None:
+        centroids, assign = index
+        cdf_pd = pd.DataFrame(
+            {"cid": range(len(centroids)), "cv": [c.tolist() for c in centroids]}
+        )
+        cdf = vectors.sparkSession.createDataFrame(cdf_pd)
+        assigned = assign(vectors, id_label="cluster").select(
+            id_col,
+            F.col(vec_col).cast("array<double>").alias("v"),
+            "cluster",
+        )
+        # centroid_sim still needed for the keep order — one broadcast join
+        # back onto the (tiny) centroid frame
+        assigned = (
+            assigned.join(
+                F.broadcast(cdf.withColumnRenamed("cid", "cluster")), "cluster"
+            )
+            .withColumn("csim_r", F.round(F.expr(_cos("v", "cv")), round_dp))
+            .drop("cv")
+        )
+    else:
+        import math
+
+        # anchors are tiny by contract (n_clusters rows) — collect and
+        # inline them as literal arrays so assignment is pure map-side:
+        # no k× crossJoin fan-out, no per-vector argmax window shuffle.
+        # The corpus never shuffles to get its cluster label, matching
+        # the kmeans path's transform() shape.
+        cents = anchor_centroids(vectors, n_clusters, vec_col, id_col).collect()
+        if not cents:
+            return vectors.select(
+                id_col,
+                F.lit(None).cast("long").alias("cluster"),
+                F.lit(None).cast("double").alias("centroid_sim"),
+                F.lit(False).alias("is_dup"),
+            ).limit(0)
+        v = vectors.select(
+            id_col, F.col(vec_col).cast("array<double>").alias("v")
+        ).withColumn("__nv", F.expr(f"sqrt({_DOT.format(a='v', b='v')})"))
+        cent_structs = []
+        for r in cents:
+            # centroid norm folded to a constant with the engines' exact
+            # arithmetic: sequential sum (the aggregate/list_dot_product
+            # fold order) + IEEE sqrt — the oracle's sqrt(dot(c,c)) is
+            # bit-identical, so the rounded argmax can't diverge
+            sq = 0.0
+            for x in r.cv:
+                sq += float(x) * float(x)
+            lit = "array(" + ",".join(repr(float(x)) for x in r.cv) + ")"
+            cent_structs.append(
+                f"struct({int(r.cid)}L AS cid, {math.sqrt(sq)!r}D AS nc, "
+                f"{lit} AS cv)"
+            )
+        cents_sql = f"array({', '.join(cent_structs)})"
+        # one SQL-lambda pass (each centroid literal and the cosine code
+        # appear ONCE — inlining them per centroid was measured 1.7×
+        # slower on codegen size alone), then lexicographic min of
+        # (-sim, cid) = argmax sim with centroid-id tie-break,
+        # degenerate (NULL-sim) centroids pushed last
+        scored = (
+            f"transform({cents_sql}, c -> struct("
+            f"round(nullif(try_divide({_DOT.format(a='v', b='c.cv')}, "
+            f"__nv * c.nc), double('NaN')), {round_dp}) AS cs, "
+            f"c.cid AS cid))"
+        )
+        pick = (
+            f"array_min(transform({scored}, s -> struct("
+            f"coalesce(-s.cs, double('Infinity')) AS ncs, "
+            f"s.cid AS cid, s.cs AS cs)))"
+        )
+        assigned = v.withColumn("__pick", F.expr(pick)).select(
+            id_col,
+            "v",
+            F.col("__pick.cid").alias("cluster"),
+            F.col("__pick.cs").alias("csim_r"),
+        )
+
+    # materialize once: the census, the star side, and both pair-join
+    # sides all consume it (the repo's persist-at-fan-out rule)
+    assigned = assigned.localCheckpoint()
+
+    stats = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min_by(
+            F.struct(F.col(id_col).alias("aid"), F.col("v").alias("av")),
+            F.struct(F.col("csim_r"), F.col(id_col)),
+        ).alias("__anchor"),
+    )
+    cool = stats.filter(F.col("__n") <= max_cluster).select("cluster")
+    hot = stats.filter(F.col("__n") > max_cluster).select(
+        "cluster", "__anchor.aid", "__anchor.av"
+    )
+
+    cool_rows = assigned.join(F.broadcast(cool), "cluster", "left_semi")
+    a = cool_rows.select(
+        "cluster",
+        F.col("csim_r").alias("cs_a"),
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    b = cool_rows.select(
+        "cluster",
+        F.col("csim_r").alias("cs_b"),
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    earlier = (F.col("cs_a") < F.col("cs_b")) | (
+        (F.col("cs_a") == F.col("cs_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cool_dropped = (
+        a.join(b, "cluster")
+        .filter(earlier)
+        .filter(F.round(F.expr(_cos("va", "vb")), round_dp) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+    )
+    star_dropped = (
+        assigned.join(F.broadcast(hot), "cluster")
+        .filter(F.col(id_col) != F.col("aid"))
+        .filter(F.round(F.expr(_cos("v", "av")), round_dp) >= threshold)
+        .select(id_col)
+    )
+    dropped = cool_dropped.unionByName(star_dropped).distinct()
+
+    return (
+        assigned.join(
+            dropped.withColumn("__dup", F.lit(True)), id_col, "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.col("csim_r").alias("centroid_sim"),
+            F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -668,6 +668,90 @@ def test_ivf_topk_quantized_index_reuse(vectors):
     assert hits / 25 >= 0.9
 
 
+def test_semantic_dedup_keep_rule(spark):
+    """Pinned-geometry SemDeDup: anchor centroids are ids 0/1 ([1,0,0] /
+    [0,1,0]); cluster 0 holds {0, 2, 3} with pairwise sims ≥ τ and
+    ascending-centroid-sim order (3, 2, 0) — so the EDGE example id 3
+    survives and shadows both later members (id 0 drops to id 3 even
+    though id 2, its other shadow, is itself dropped: upper-triangular
+    rule). Cluster 1 likewise keeps the edge member id 4 over the anchor
+    id 1."""
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.95, 0.31, 0.0]),
+            (3, [0.9, 0.43, 0.0]),
+            (4, [0.0, 0.9, 0.43]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = (
+        similarity.semantic_dedup(df, n_clusters=2, threshold=0.9)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out["cluster"].to_dict() == {0: 0, 1: 1, 2: 0, 3: 0, 4: 1}
+    assert out["is_dup"].to_dict() == {
+        0: True,
+        1: True,
+        2: True,
+        3: False,
+        4: False,
+    }
+
+
+def test_semantic_dedup_kmeans_mode(vectors):
+    """Production mode: trained ivf_index centroids. Exact copies planted
+    into the clustered fixture lose exactly one member per copy pair; the
+    copy (higher id) drops when centroid sims tie (id tie-break)."""
+    df, pdf = vectors
+    copies = df.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = df.unionByName(copies)
+    idx = similarity.ivf_index(corpus, n_cells=4, seed=42)
+    # τ at 4dp: only the planted exact copies (sim 1.0) qualify — the
+    # fixture's own within-cluster sims run right up past 0.995
+    out = (
+        similarity.semantic_dedup(
+            corpus, threshold=0.9999, index=idx, round_dp=4
+        )
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert len(out) == 105
+    for orig in range(5):
+        pair = out.loc[[orig, orig + 1000]]
+        # identical vectors land in one cluster; exactly one survives, and
+        # with tied centroid sims the lower id is the keeper
+        assert pair["cluster"].nunique() == 1
+        assert not pair.loc[orig, "is_dup"]
+        assert pair.loc[orig + 1000, "is_dup"]
+    assert int(out["is_dup"].sum()) == 5
+
+
+def test_semantic_dedup_star_degrade(spark):
+    """A viral (identical-vector) cluster past max_cluster degrades to the
+    star join: every member except the first-in-order anchor drops, cost
+    linear — never O(cluster²)."""
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])] + [
+        (i, [0.0, 1.0]) for i in range(2, 32)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = (
+        similarity.semantic_dedup(
+            df, n_clusters=2, threshold=0.9, max_cluster=10
+        )
+        .toPandas()
+        .set_index("vec_id")
+    )
+    kept = sorted(out[~out["is_dup"]].index)
+    assert kept == [0, 1]  # id 1: tied csim everywhere → min-id anchor
+    assert int(out["is_dup"].sum()) == 30
+
+
 # --- textstats -----------------------------------------------------------------------
 
 
