@@ -1018,6 +1018,21 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR (Xie et al. 2023): select the 100 raw docs most like the
+    src0 target slice by hashed-{1,2}-gram importance weight, resampled
+    Gumbel-top-k (md5-seeded, so the draw is engine-replayable). 64
+    buckets keeps the smoothed counts dense on the 500-doc fixture."""
+    from punt_spark.dataops.dsir import dsir_select
+
+    d = _t(spark, sf_dir, "documents")
+    target = d.filter(F.col("source") == "src0")
+    raw = d.filter(F.col("source") != "src0")
+    return dsir_select(raw, target, k=100, n_buckets=64).select(
+        "doc_id", F.round("logw", 4).alias("logw_r"), "key_r"
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) over the embeddings table in the
     deterministic anchor-centroid mode: 8 fixed centroids (lowest 8
@@ -1072,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "alert_actions": q_alert_actions,
@@ -1859,6 +1875,60 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 50
               AND round({_cosine_sql('a.embedding', 'b.embedding')}, 2) >= 0.40
+        """,
+        # DSIR: hashed {1,2}-gram occurrence buckets (the shared md5
+        # core), add-1-smoothed target/raw log-ratio per bucket, per-doc
+        # weight = sum over gram occurrences, Gumbel-top-100 with the
+        # md5-seeded noise formula replayed bit-for-bit.
+        "dsir_select": """
+            WITH tw AS (SELECT doc_id,
+                        list_filter(string_split_regex(lower(trim(text)),
+                                    '\\s+'), x -> x <> '') AS ws
+                        FROM documents WHERE source = 'src0'),
+            rw AS (SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)),
+                               '\\s+'), x -> x <> '') AS ws
+                   FROM documents WHERE source <> 'src0'),
+            tg AS (SELECT doc_id, unnest(ws) AS gram FROM tw
+                   UNION ALL
+                   SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+                   FROM tw, UNNEST(range(1, len(ws))) AS t(i)),
+            rg AS (SELECT doc_id, unnest(ws) AS gram FROM rw
+                   UNION ALL
+                   SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+                   FROM rw, UNNEST(range(1, len(ws))) AS t(i)),
+            tb AS (SELECT ('0x' || substr(md5('dsir' || gram), 1, 8))
+                          ::BIGINT % 64 AS bucket, count(*) AS c
+                   FROM tg GROUP BY 1),
+            rb AS (SELECT doc_id,
+                          ('0x' || substr(md5('dsir' || gram), 1, 8))
+                          ::BIGINT % 64 AS bucket
+                   FROM rg),
+            rc AS (SELECT bucket, count(*) AS c FROM rb GROUP BY 1),
+            lw AS (SELECT b.bucket,
+                          ln((coalesce(tb.c, 0) + 1.0) /
+                             ((SELECT coalesce(sum(c), 0) FROM tb) + 64.0))
+                        - ln((coalesce(rc.c, 0) + 1.0) /
+                             ((SELECT coalesce(sum(c), 0) FROM rc) + 64.0))
+                              AS lw
+                   FROM (SELECT unnest(range(0, 64)) AS bucket) b
+                   LEFT JOIN tb USING (bucket)
+                   LEFT JOIN rc USING (bucket)),
+            wts AS (SELECT d.doc_id, coalesce(s.logw, 0.0) AS logw
+                    FROM (SELECT doc_id FROM documents
+                          WHERE source <> 'src0') d
+                    LEFT JOIN (SELECT rb.doc_id, sum(lw.lw) AS logw
+                               FROM rb JOIN lw USING (bucket)
+                               GROUP BY 1) s USING (doc_id)),
+            sel AS (SELECT doc_id, logw,
+                           round(logw - ln(-ln(
+                               (('0x' || substr(md5('dsir-gumbel' ||
+                                    CAST(doc_id AS VARCHAR)), 1, 8))
+                                ::BIGINT % 4294967296 + 0.5)
+                               / 4294967296.0)), 2) AS key_r
+                    FROM wts)
+            SELECT doc_id, round(logw, 4) AS logw_r, key_r
+            FROM sel ORDER BY key_r DESC, doc_id LIMIT 100
         """,
         # SemDeDup, anchor-centroid mode: assign each vector to the
         # most-cosine-similar of the 8 lowest-id embeddings (rounded sim,

@@ -752,6 +752,91 @@ def test_semantic_dedup_star_degrade(spark):
     assert int(out["is_dup"].sum()) == 30
 
 
+# --- dsir ----------------------------------------------------------------------------
+
+
+def _dsir_py(raw_docs, target_docs, n_buckets=64, alpha=1.0, salt="dsir"):
+    """Pure-Python DSIR reference: hashed {1,2}-gram occurrence counts →
+    smoothed log-ratio per bucket → per-doc sum."""
+    import hashlib
+    import math
+
+    def grams(text):
+        toks = [t for t in text.lower().strip().split() if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(g):
+        h = hashlib.md5((salt + g).encode()).hexdigest()
+        return int(h[:8], 16) % n_buckets
+
+    def counts(docs):
+        c = [0] * n_buckets
+        for _, text in docs:
+            for g in grams(text):
+                c[bucket(g)] += 1
+        return c
+
+    ct, cr = counts(target_docs), counts(raw_docs)
+    t, r = sum(ct), sum(cr)
+    lw = [
+        math.log((ct[b] + alpha) / (t + alpha * n_buckets))
+        - math.log((cr[b] + alpha) / (r + alpha * n_buckets))
+        for b in range(n_buckets)
+    ]
+    return {
+        did: sum(lw[bucket(g)] for g in grams(text))
+        for did, text in raw_docs
+    }
+
+
+def test_dsir_weights_match_python(spark):
+    from punt_spark.dataops import dsir
+
+    target_docs = [(100 + i, "spark shuffle join broadcast agg") for i in range(3)]
+    raw_docs = [
+        (0, "spark shuffle join agg broadcast spark join"),
+        (1, "cat dog bird fish cow"),
+        (2, "spark broadcast join"),
+        (3, "red green blue yellow purple orange"),
+        (4, ""),
+        (5, "one"),
+    ]
+    schema = "doc_id long, text string"
+    raw = spark.createDataFrame(raw_docs, schema)
+    target = spark.createDataFrame(target_docs, schema)
+    got = (
+        dsir.dsir_weights(raw, target, n_buckets=64)
+        .toPandas()
+        .set_index("doc_id")["logw"]
+    )
+    want = _dsir_py(raw_docs, target_docs, n_buckets=64)
+    assert len(got) == 6  # empty/1-token docs still ranked
+    for did, w in want.items():
+        assert got[did] == pytest.approx(w, abs=1e-9), did
+    # target-like candidates outscore off-distribution ones
+    assert got[0] > got[1] and got[2] > got[3]
+    assert got[4] == 0.0  # no grams → neutral weight, not a dropped row
+
+
+def test_dsir_select_gumbel_topk(spark):
+    """Selection is deterministic given the salts, ∝ softmax(logw): with
+    strongly separated weights the target-like docs win; rerun yields the
+    identical set (seeded md5 Gumbel, not RNG state)."""
+    from punt_spark.dataops import dsir
+
+    target_docs = [(100, "spark shuffle join broadcast agg partition")]
+    raw_docs = [
+        (i, "spark shuffle join broadcast agg partition") for i in range(5)
+    ] + [(i, "cat dog bird fish cow horse") for i in range(5, 10)]
+    schema = "doc_id long, text string"
+    raw = spark.createDataFrame(raw_docs, schema)
+    target = spark.createDataFrame(target_docs, schema)
+    sel1 = dsir.dsir_select(raw, target, k=5, n_buckets=64).toPandas()
+    sel2 = dsir.dsir_select(raw, target, k=5, n_buckets=64).toPandas()
+    assert sorted(sel1["doc_id"]) == sorted(sel2["doc_id"])
+    assert set(sel1["doc_id"]) == set(range(5))  # Gumbel can't bridge the gap
+
+
 # --- textstats -----------------------------------------------------------------------
 
 
