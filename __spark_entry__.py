@@ -1018,6 +1018,23 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail tiers (Wenzek et al. 2020) over the
+    self-trained bigram log-prob: tertile cuts from the exact percentile
+    aggregate (oracle-replayable; production uses the approx sketch),
+    scores rounded to 4dp FIRST so both engines cut an identical grid
+    (see textstats.score_buckets determinism note)."""
+    from punt_spark.dataops.textstats import score_buckets, with_bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    scored = with_bigram_logprob(d).withColumn(
+        "blp_r", F.round("bigram_logprob", 4)
+    )
+    return score_buckets(scored, "blp_r", exact=True, out="ppl_bucket").select(
+        "doc_id", "blp_r", "ppl_bucket"
+    )
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR (Xie et al. 2023): select the 100 raw docs most like the
     src0 target slice by hashed-{1,2}-gram importance weight, resampled
@@ -1088,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
+        "perplexity_buckets": q_perplexity_buckets,
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "alert_actions": q_alert_actions,
@@ -1761,6 +1779,45 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY bg.doc_id)
             SELECT d.doc_id, round(coalesce(scores.s, 0.0), 4) AS blp_r
             FROM documents d LEFT JOIN scores ON d.doc_id = scores.doc_id
+        """,
+        # CCNet tiers: the bigram_logprob oracle's score (rounded 4dp),
+        # tertile cuts via quantile_cont on the rounded grid, band CASE.
+        "perplexity_buckets": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                   '\\s+'), t -> t != '') AS ws
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+                WHERE len(ws) >= 2
+            ), c12 AS (
+                SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+            ), v AS (
+                SELECT COUNT(DISTINCT tok) AS vs FROM (
+                    SELECT unnest(ws) AS tok FROM w)
+            ), scores AS (
+                SELECT bg.doc_id,
+                       avg(ln((c12.c12 + 1.0) /
+                              (c1.c1 + (SELECT vs FROM v)))) AS s
+                FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+                GROUP BY bg.doc_id
+            ), r AS (
+                SELECT d.doc_id, round(coalesce(scores.s, 0.0), 4) AS blp_r
+                FROM documents d LEFT JOIN scores
+                  ON d.doc_id = scores.doc_id
+            ), cuts AS (
+                SELECT quantile_cont(blp_r,
+                    [0.3333333333333333, 0.6666666666666666]) AS q FROM r
+            )
+            SELECT r.doc_id, r.blp_r,
+                   CASE WHEN r.blp_r < cuts.q[1] THEN 'tail'
+                        WHEN r.blp_r < cuts.q[2] THEN 'middle'
+                        ELSE 'head' END AS ppl_bucket
+            FROM r, cuts
         """,
         "pack_sequences": """
             WITH t AS (

@@ -326,6 +326,60 @@ def with_bigram_logprob(
     )
 
 
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    cuts: tuple = (1.0 / 3, 2.0 / 3),
+    labels: tuple = ("tail", "middle", "head"),
+    out: str = "bucket",
+    exact: bool = False,
+) -> DataFrame:
+    """CCNet-style quality tiers (Wenzek et al. 2020): label each row by
+    which corpus-level quantile band its score falls in — with a
+    perplexity-shaped score (higher = more fluent, e.g.
+    ``with_bigram_logprob``) the classic head/middle/tail split, where
+    "head" is the most reference-like third that curation keeps first.
+
+    The cut values are ONE quantile aggregate over the corpus, broadcast
+    back as a 1-row frame — labelling itself is map-side, no shuffle, no
+    window. ``exact=False`` (default, the 100 TB path) uses
+    ``approx_percentile`` — a proper distributed sketch; ``exact=True``
+    uses the exact ``percentile`` aggregate, which concentrates the
+    value multiset on the final reducer — gate/test use only, where the
+    oracle must replay the identical cut. Rows below ``cuts[i]`` get
+    ``labels[i]``; the remainder gets ``labels[-1]``; NULL scores stay
+    NULL (an unscored row must not silently count as top-tier).
+
+    Cross-engine determinism note for oracle use: feed ROUNDED scores
+    (e.g. 4dp) — identical score multisets give both engines the same
+    grid-valued inputs, and an interpolated cut strictly between two
+    distinct grid points sits ≥ grid/3 away from any score, so the
+    band comparisons can't flip on float ulps."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels, got {len(cuts)} cuts / "
+            f"{len(labels)} labels"
+        )
+    fn = "percentile" if exact else "approx_percentile"
+    cut_list = ", ".join(repr(float(c)) for c in cuts)
+    qs = df.agg(
+        F.expr(f"{fn}({score_col}, array({cut_list}))").alias("__cuts")
+    )
+    col = F.col(score_col)
+    label = F.when(col < F.col("__cuts")[0], F.lit(labels[0]))
+    for i in range(1, len(cuts)):
+        label = label.when(col < F.col("__cuts")[i], F.lit(labels[i]))
+    label = label.otherwise(F.lit(labels[-1]))
+    return (
+        df.crossJoin(F.broadcast(qs))
+        .withColumn(
+            out,
+            F.when(col.isNull(), F.lit(None).cast("string")).otherwise(label),
+        )
+        .drop("__cuts")
+    )
+
+
 # --- vocabulary statistics (tokenizer-training input) -----------------------------
 
 

@@ -752,6 +752,42 @@ def test_semantic_dedup_star_degrade(spark):
     assert int(out["is_dup"].sum()) == 30
 
 
+def test_score_buckets_ccnet_tiers(spark):
+    """Tertile bands on a known score set: 9 rows 1..9 → exact tertile
+    cuts land between grid values; NULL score stays NULL-labelled; the
+    approx (production) mode agrees on well-separated data; label/cut
+    arity is validated."""
+    from punt_spark.dataops.textstats import score_buckets
+
+    rows = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id long, s double")
+    out = (
+        score_buckets(df, "s", exact=True)
+        .toPandas()
+        .set_index("doc_id")["bucket"]
+    )
+    # type-7 tertiles of 1..9: q33 ≈ 3.67, q67 ≈ 6.33
+    assert [out[i] for i in range(1, 10)] == (
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+    )
+    assert out[99] is None
+    # approx (production) mode: cuts are dataset elements, not
+    # interpolated — boundary rows may shift one band, but the labelling
+    # must stay monotone in score and use all three tiers
+    approx = (
+        score_buckets(df, "s")
+        .toPandas()
+        .dropna()
+        .sort_values("s")["bucket"]
+        .tolist()
+    )
+    order = {"tail": 0, "middle": 1, "head": 2}
+    assert [order[b] for b in approx] == sorted(order[b] for b in approx)
+    assert set(approx) == {"tail", "middle", "head"}
+    with pytest.raises(ValueError, match="labels"):
+        score_buckets(df, "s", cuts=(0.5,), labels=("a", "b", "c"))
+
+
 # --- dsir ----------------------------------------------------------------------------
 
 
