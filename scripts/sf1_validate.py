@@ -53,6 +53,9 @@ QUERIES = [
     "idf_score",
     "route_counts",
     "window_rollup",
+    "dsir_select",
+    "perplexity_buckets",
+    "semantic_dedup_scaled",
 ]
 
 
@@ -70,6 +73,54 @@ def _q_simhash_prod64(spark, sf_dir):
     from punt_spark.dataops.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(entrymod._t(spark, sf_dir, "documents"))
+
+
+def _q_semantic_dedup_scaled(spark, sf_dir):
+    """SemDeDup under its documented operating discipline: n_clusters ∝
+    corpus (the paper runs 50k clusters for LAION) so E[cluster size]
+    stays ~constant and the within-cluster pair join scales LINEARLY in
+    rows. Holding n_clusters fixed while rows grow 10× would grow pairs
+    100× by construction — that is the parameter misuse the docstring
+    warns about, not the operator's scale behavior. Anchor mode, E[c]
+    ≈ 250."""
+    import __spark_entry__ as entrymod
+
+    from punt_spark.dataops.similarity import semantic_dedup
+
+    e = entrymod._t(spark, sf_dir, "embeddings")
+    n = e.count()
+    return semantic_dedup(
+        e, n_clusters=max(8, n // 250), threshold=0.30
+    )
+
+
+def gen_embeddings(out_dir: str, n: int, seed: int = 13) -> str:
+    """Synthetic twin of the embeddings table at row count n: resample
+    real sf0.1 rows with replacement plus small Gaussian noise —
+    preserves the real table's cluster geometry (what drives anchor
+    assignment balance and within-cluster sim mass) at any n."""
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import duckdb
+
+    con = duckdb.connect()
+    real = con.execute(
+        f"SELECT embedding FROM '{REAL_SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    mat = np.array([r[0] for r in real], dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, len(mat), n)
+    out = mat[idx] + rng.standard_normal((n, mat.shape[1])).astype(np.float32) * 0.05
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [row.tolist() for row in out],
+        }
+    )
+    pdf.to_parquet(path, index=False)
+    return path
 
 
 def _word_dist_from_real() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -171,6 +222,7 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
     qs = entrymod.queries()
     qs["simhash_pairs_prod64"] = _q_simhash_prod64
+    qs["semantic_dedup_scaled"] = _q_semantic_dedup_scaled
     qs["route_counts"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()  # warm
@@ -198,8 +250,10 @@ def main() -> int:
     d10 = os.path.join(CACHE, "sf1v2_x10")
     gen_documents(d1, 5_000)
     gen_events(d1, 100_000)
+    gen_embeddings(d1, 2_000)
     gen_documents(d10, 50_000)
     gen_events(d10, 1_000_000)
+    gen_embeddings(d10, 20_000)
 
     from punt_spark.session import get_spark
 
