@@ -87,6 +87,9 @@ OP_QUERIES = [
     "embedding_quantize",
     "trim_repeated_spans",
     "temperature_resample",
+    "semantic_dedup",
+    "dsir_select",
+    "perplexity_buckets",
 ]
 
 
