@@ -726,6 +726,44 @@ def q_ingest_dedup_fold(spark, sf_dir):
     return out
 
 
+def q_ingest_neardup_fold(spark, sf_dir):
+    """The NEAR-dup production ingest loop's end state (MinHash twin of
+    ``ingest_dedup_fold``): documents in 3 ordered batches (doc_id % 3)
+    folded through :class:`NearDupIngestor` in md5 signature mode
+    (4 hashes, 2 bands, est ≥ 0.5) — each batch LSH-banded against the
+    accepted-docs index the prior batches built, within-batch pairs
+    under the upper-triangular shadow rule. DuckDB replays signatures,
+    bands, the agreement estimate, and the 3-stage fold as chained CTEs
+    (475/500 accepted on the fixture — cross-batch AND within-batch
+    drops both non-vacuous)."""
+    import shutil
+    import tempfile
+
+    from punt_spark.dataops.ingest import NearDupIngestor
+    from punt_spark.sink import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="punt_neardup_fold_")
+    try:
+        ing = NearDupIngestor(
+            SnapshotTable(os.path.join(tmp, "data")),
+            SnapshotTable(os.path.join(tmp, "index")),
+            num_hashes=4,
+            bands=2,
+            threshold=0.5,
+            sig_mode="md5",
+        )
+        for b in range(3):
+            ing.ingest(d.filter(F.col("doc_id") % 3 == b), f"fold-{b}")
+        out = ing.data.read(spark).select(
+            "doc_id", (F.col("doc_id") % 3).alias("batch_ord")
+        )
+        out = out.localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def q_trim_repeated_spans(spark, sf_dir):
     """Cross-document repeated-span removal (Lee et al. 2022 ExactSubstr
     analog at token granularity): any token covered by a 4-gram present
@@ -1130,6 +1168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "incremental_dedup": q_incremental_dedup,
         "ingest_dedup_fold": q_ingest_dedup_fold,
+        "ingest_neardup_fold": q_ingest_neardup_fold,
         "trim_repeated_spans": q_trim_repeated_spans,
     }
 
@@ -1465,6 +1504,77 @@ def oracle_sql() -> dict[str, str]:
                 FROM fp
             )
             SELECT doc_id, batch_ord FROM ranked WHERE rn = 1
+        """,
+        # Near-dup ingest fold: md5-minhash signatures (4 hashes), 2-band
+        # LSH keys, agreement estimate >= 0.5; the 3-batch fold unrolls
+        # as chained CTEs — batch b drops a doc shadowed within its own
+        # batch (smaller-id match) or matched against an ACCEPTED doc of
+        # an earlier batch. Docs too short to shingle never match.
+        "ingest_neardup_fold": r"""
+            WITH w AS (
+                SELECT doc_id, list_filter(string_split_regex(
+                    lower(trim(text)), '\s+'), x -> x <> '') AS ws
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                       AS shingle
+                FROM w, UNNEST(range(1, greatest(len(ws)-1, 1))) AS t(i)
+                WHERE len(ws) >= 3
+            ), sigs AS (
+                SELECT doc_id,
+                       min(md5('0' || shingle)) AS h0,
+                       min(md5('1' || shingle)) AS h1,
+                       min(md5('2' || shingle)) AS h2,
+                       min(md5('3' || shingle)) AS h3
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band_idx,
+                       md5(h0 || chr(31) || h1) AS band_hash FROM sigs
+                UNION ALL
+                SELECT doc_id, 1, md5(h2 || chr(31) || h3) FROM sigs
+            ), cand AS (
+                SELECT a.doc_id AS ida, b.doc_id AS idb
+                FROM bands a JOIN bands b
+                  ON a.band_idx = b.band_idx
+                 AND a.band_hash = b.band_hash
+                 AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            ), m AS (
+                SELECT c.ida, c.idb
+                FROM cand c JOIN sigs sa ON sa.doc_id = c.ida
+                            JOIN sigs sb ON sb.doc_id = c.idb
+                WHERE ((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+                     + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+                     + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+                     + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END))
+                      / 4.0 >= 0.5
+            ), a0 AS (
+                SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+                AND NOT EXISTS (SELECT 1 FROM m
+                    WHERE m.idb = documents.doc_id
+                      AND m.ida % 3 = 0 AND m.ida < documents.doc_id)
+            ), a1 AS (
+                SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+                AND NOT EXISTS (SELECT 1 FROM m JOIN a0 ON m.ida = a0.doc_id
+                    WHERE m.idb = documents.doc_id)
+                AND NOT EXISTS (SELECT 1 FROM m
+                    WHERE m.idb = documents.doc_id
+                      AND m.ida % 3 = 1 AND m.ida < documents.doc_id)
+            ), a2 AS (
+                SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+                AND NOT EXISTS (SELECT 1 FROM m JOIN a0 ON m.ida = a0.doc_id
+                    WHERE m.idb = documents.doc_id)
+                AND NOT EXISTS (SELECT 1 FROM m JOIN a1 ON m.ida = a1.doc_id
+                    WHERE m.idb = documents.doc_id)
+                AND NOT EXISTS (SELECT 1 FROM m
+                    WHERE m.idb = documents.doc_id
+                      AND m.ida % 3 = 2 AND m.ida < documents.doc_id)
+            )
+            SELECT doc_id, CAST(0 AS BIGINT) AS batch_ord FROM a0
+            UNION ALL
+            SELECT doc_id, CAST(1 AS BIGINT) FROM a1
+            UNION ALL
+            SELECT doc_id, CAST(2 AS BIGINT) FROM a2
         """,
         "trim_repeated_spans": r"""
             WITH toks AS (

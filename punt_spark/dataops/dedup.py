@@ -127,6 +127,65 @@ def minhash_signatures(
     )
 
 
+def md5_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<string>[num_hashes]) — the ORACLE-REPLAYABLE
+    signature family: permutation j = md5 with a numeric prefix, min hex
+    string per shingle set (DuckDB: ``min(md5(j || shingle))``). Same
+    shuffle-free per-row shape as :func:`minhash_signatures`; use that
+    (xxhash64, JVM-cheap) in production and THIS where a DuckDB gate must
+    replay the signature bit-for-bit (the md5-LSH gate family of
+    ``q_dedup_minhash_pairs`` / the near-dup ingest fold). Docs with no
+    shingles (< shingle_n tokens) are excluded — callers must treat
+    absent ids as unmatched, not dropped."""
+    d = with_shingles(df, text_col, shingle_n).filter(F.size("shingles") > 0)
+    mins = [
+        F.expr(
+            "array_min(transform(shingles,"
+            f" s -> md5(cast(concat('{j}', s) as binary))))"
+        ).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    sig = d.select(F.col(id_col), *mins)
+    return sig.select(
+        id_col, F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def banded_str(sig_df: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band_idx, band_hash) over a STRING signature array: band key =
+    md5 of the band's elements joined on US (0x1f). The string twin of
+    ``_banded`` (whose xxhash64 key DuckDB cannot replay); DuckDB mirrors
+    it as ``md5(array_to_string(sig[a:b], chr(31)))``."""
+    return sig_df.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> md5(cast(concat_ws('\x1f',"
+                f"   slice(sig, b * (size(sig) div {bands}) + 1,"
+                f"     size(sig) div {bands})) as binary)))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def sig_agreement(a: str, b: str) -> str:
+    """SQL expr: fraction of positions where two equal-length signature
+    arrays agree — the MinHash Jaccard estimate (unbiased, se ≈
+    1/√num_hashes)."""
+    return (
+        f"size(filter(zip_with({a}, {b}, (x, y) -> x = y), t -> t))"
+        f" / cast(size({a}) as double)"
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",

@@ -41,9 +41,17 @@ silent data loss.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sink import SnapshotTable
-from .dedup import _norm_fingerprint, incremental_dedup
+from .dedup import (
+    _norm_fingerprint,
+    banded_str,
+    incremental_dedup,
+    md5_minhash_signatures,
+    minhash_signatures,
+    sig_agreement,
+)
 
 FP_COL = "fp"
 
@@ -109,6 +117,193 @@ class DedupIngestor:
             _norm_fingerprint(self.text_col).alias(FP_COL)
         )
         self.index.commit(fps, snapshot_id=batch_id, partition_cols=[])
+        return {"batch_id": batch_id, "accepted": n, "skipped": False}
+
+
+class NearDupIngestor:
+    """Continuous-ingestion NEAR-duplicate dedup: the MinHash twin of
+    :class:`DedupIngestor` — each batch is checked against a persistent
+    LSH band index of previously ACCEPTED documents, survivors committed
+    data-first/index-last under the same crash-window protocol (module
+    docstring; the analysis transfers verbatim because the accepted set
+    is again a deterministic function of (batch, index-without-batch)).
+
+    Semantics (deterministic, no greedy recursion):
+
+    * cross-batch — a batch doc is dropped iff some band of its MinHash
+      signature collides with an accepted earlier doc AND the signature
+      agreement (the Jaccard estimate) rounds ≥ ``threshold``. The index
+      holds accepted docs only, so the retained corpus is what new docs
+      are deduped against — a viral cluster contributes ONE accepted
+      representative, which then shadows every later member.
+    * within-batch — candidate pairs from the batch's own band join;
+      the pair's HIGHER id drops when the estimate passes, whether or
+      not the lower id itself survives (the same upper-triangular
+      shadow rule as ``similarity.semantic_dedup``; pairwise predicate,
+      exactly replayable by a SQL oracle).
+    * docs too short to shingle (< shingle_n tokens) have no signature:
+      they are always accepted and never indexed — near-dup semantics
+      are undefined below one shingle (use the exact
+      :class:`DedupIngestor` alongside if byte-identical shorts matter).
+
+    Scale shape: the index stores (band_idx, band_hash, doc_id, sig) —
+    ``bands`` rows ≈ 2 KB/doc at 32 hashes; per batch the index STREAMS
+    through one join against the (broadcast, bounded) batch band keys
+    and never shuffles; on a real deployment the index table is bucketed
+    on band_hash so the scan also prunes. A band key hot on the HISTORY
+    side (many dissimilar accepted docs coincidentally sharing a band)
+    past ``max_band_fanout`` degrades to comparing each batch doc
+    against the key's min-id accepted doc only — the repo's standard
+    star degrade (simhash/semantic_dedup), linear in hits, with the same
+    documented recall trade for diverse hot buckets.
+
+    ``sig_mode``: ``"xxhash"`` (production — JVM-native 64-bit hashes)
+    or ``"md5"`` (oracle-replayable hex signatures for gates/tests);
+    signatures are carried as array<string> either way so the index
+    schema is mode-independent.
+    """
+
+    INDEX_SCHEMA = (
+        "band_idx int, band_hash string, doc_id long, sig array<string>"
+    )
+
+    def __init__(
+        self,
+        data_table: SnapshotTable,
+        index_table: SnapshotTable,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_n: int = 3,
+        threshold: float = 0.7,
+        sig_mode: str = "xxhash",
+        round_dp: int = 4,
+        max_band_fanout: int = 1000,
+        broadcast_hints: bool = True,
+    ):
+        if num_hashes % bands:
+            raise ValueError(
+                f"num_hashes ({num_hashes}) must divide into bands ({bands})"
+            )
+        if sig_mode not in ("xxhash", "md5"):
+            raise ValueError(f"unknown sig_mode {sig_mode!r}")
+        self.data = data_table
+        self.index = index_table
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        self.threshold = threshold
+        self.sig_mode = sig_mode
+        # the estimate is k-equal-of-n → a coarse grid; rounding before
+        # the >= keeps the accept/drop decision stable across engines
+        self.round_dp = round_dp
+        self.max_band_fanout = max_band_fanout
+        self.broadcast_hints = broadcast_hints
+
+    def _signatures(self, batch: DataFrame) -> DataFrame:
+        fn = (
+            minhash_signatures
+            if self.sig_mode == "xxhash"
+            else md5_minhash_signatures
+        )
+        sigs = fn(
+            batch, self.text_col, self.id_col, self.num_hashes, self.shingle_n
+        )
+        return sigs.withColumn("sig", F.col("sig").cast("array<string>"))
+
+    def ingest(self, batch: DataFrame, batch_id: str) -> dict:
+        """Process one batch; returns {"batch_id", "accepted", "skipped"}.
+        Precondition: ``id_col`` non-NULL and unique (the exact_dedup /
+        cap_rank contract)."""
+        spark = batch.sparkSession
+        if self.index.has_snapshot(batch_id):
+            return {"batch_id": batch_id, "accepted": None, "skipped": True}
+        hist = self.index.read(spark)
+        if hist is None:
+            hist = spark.createDataFrame([], self.INDEX_SCHEMA)
+        maybe_bc = F.broadcast if self.broadcast_hints else (lambda d: d)
+        est = F.round(F.expr(sig_agreement("sig_a", "sig_b")), self.round_dp)
+
+        # one signature computation feeds the band explode, both join
+        # sides, and the index append (persist-at-fan-out rule)
+        sigs = self._signatures(batch).localCheckpoint()
+        bbands = banded_str(sigs, self.id_col, self.bands)
+
+        # --- cross-batch: history streams once against the batch keys
+        bkeys = bbands.select(
+            "band_idx",
+            "band_hash",
+            F.col(self.id_col).alias("__bid"),
+            F.col("sig").alias("sig_b"),
+        )
+        hits = hist.join(
+            maybe_bc(bkeys.select("band_idx", "band_hash").distinct()),
+            ["band_idx", "band_hash"],
+            "left_semi",
+        )
+        stats = hits.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min_by(
+                F.struct(
+                    F.col(self.id_col).alias("aid"), F.col("sig").alias("asig")
+                ),
+                F.col(self.id_col),
+            ).alias("__anchor"),
+        )
+        cool = stats.filter(F.col("__n") <= self.max_band_fanout).select(
+            "band_idx", "band_hash"
+        )
+        hot = stats.filter(F.col("__n") > self.max_band_fanout).select(
+            "band_idx", "band_hash", "__anchor.asig"
+        )
+        cool_pairs = (
+            hits.join(maybe_bc(cool), ["band_idx", "band_hash"], "left_semi")
+            .select("band_idx", "band_hash", F.col("sig").alias("sig_a"))
+            .join(maybe_bc(bkeys), ["band_idx", "band_hash"])
+        )
+        star_pairs = maybe_bc(hot).select(
+            "band_idx", "band_hash", F.col("asig").alias("sig_a")
+        ).join(maybe_bc(bkeys), ["band_idx", "band_hash"])
+        dropped_cross = (
+            cool_pairs.unionByName(star_pairs)
+            .filter(est >= self.threshold)
+            .select(F.col("__bid").alias(self.id_col))
+        )
+
+        # --- within-batch: shadow rule over the batch's own band buckets
+        a = bbands.select(
+            "band_idx",
+            "band_hash",
+            F.col(self.id_col).alias("__ida"),
+            F.col("sig").alias("sig_a"),
+        )
+        b = bbands.select(
+            "band_idx",
+            "band_hash",
+            F.col(self.id_col).alias("__idb"),
+            F.col("sig").alias("sig_b"),
+        )
+        dropped_within = (
+            a.join(b, ["band_idx", "band_hash"])
+            .filter(F.col("__ida") < F.col("__idb"))
+            .filter(est >= self.threshold)
+            .select(F.col("__idb").alias(self.id_col))
+        )
+
+        dropped = dropped_cross.unionByName(dropped_within).distinct()
+        accepted = batch.join(
+            maybe_bc(dropped), self.id_col, "left_anti"
+        ).localCheckpoint()
+        n = accepted.count()
+        # data first, index (the done marker) last — module docstring
+        self.data.commit(accepted, snapshot_id=batch_id, partition_cols=[])
+        acc_index = bbands.join(
+            maybe_bc(accepted.select(self.id_col)), self.id_col, "left_semi"
+        ).select("band_idx", "band_hash", self.id_col, "sig")
+        self.index.commit(acc_index, snapshot_id=batch_id, partition_cols=[])
         return {"batch_id": batch_id, "accepted": n, "skipped": False}
 
 

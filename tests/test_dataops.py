@@ -1775,6 +1775,125 @@ def test_dedup_ingest_loop_multi_batch(spark, tmp_path):
     assert again["skipped"] and ing.data.read(spark).count() == 4
 
 
+def _neardup_ing(tmp_path, **kw):
+    from punt_spark.dataops.ingest import NearDupIngestor
+    from punt_spark.sink import SnapshotTable
+
+    kw.setdefault("num_hashes", 8)
+    kw.setdefault("bands", 4)
+    kw.setdefault("threshold", 0.5)
+    return NearDupIngestor(
+        SnapshotTable(str(tmp_path / "nd_corpus")),
+        SnapshotTable(str(tmp_path / "nd_index")),
+        **kw,
+    )
+
+
+def test_neardup_ingest_loop_multi_batch(spark, tmp_path):
+    """MinHash ingest loop: exact dup dropped within-batch (shadow rule),
+    a one-word near-variant dropped cross-batch against the accepted
+    index, short unshingleable docs always accepted, re-delivery
+    exactly-once."""
+    ing = _neardup_ing(tmp_path)
+    b1 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today again"),
+            (2, "the quick brown fox jumps over the lazy dog today again"),
+            (3, "completely different content about databases and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy cat today again"),
+            (11, "fresh unique text with novel tokens nobody used before"),
+            (12, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    r1 = ing.ingest(b1, "b-1")
+    r2 = ing.ingest(b2, "b-2")
+    assert (r1["accepted"], r2["accepted"]) == (2, 2)
+    corpus = {
+        r["doc_id"] for r in ing.data.read(spark).select("doc_id").collect()
+    }
+    assert corpus == {1, 3, 11, 12}
+    assert ing.ingest(b2, "b-2")["skipped"]
+    # the short doc contributed no index rows (nothing to near-match)
+    idx_ids = {
+        r["doc_id"] for r in ing.index.read(spark).select("doc_id").collect()
+    }
+    assert 12 not in idx_ids and {1, 3, 11} <= idx_ids
+
+
+def test_neardup_ingest_crash_between_data_and_index(spark, tmp_path):
+    """Same crash-window contract as the exact ingestor: a crash after
+    the data commit but before the index append replays to the identical
+    accepted set (the index cannot contain the batch's own bands)."""
+    ing = _neardup_ing(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),
+            (11, "unrelated corpus text with many other novel words here"),
+        ],
+        "doc_id long, text string",
+    )
+    assert ing.ingest(b1, "b-1")["accepted"] == 1
+
+    real_commit = ing.index.commit
+
+    def failing_commit(*a, **kw):
+        raise RuntimeError("injected crash before index append")
+
+    ing.index.commit = failing_commit
+    with pytest.raises(RuntimeError):
+        ing.ingest(b2, "b-2")
+    ing.index.commit = real_commit
+    assert ing.data.has_snapshot("b-2")
+    assert not ing.index.has_snapshot("b-2")
+    r = ing.ingest(b2, "b-2")
+    assert r["skipped"] is False and r["accepted"] == 1
+    corpus = {
+        r["doc_id"] for r in ing.data.read(spark).select("doc_id").collect()
+    }
+    assert corpus == {1, 11}
+
+
+def test_neardup_ingest_hot_band_star(spark, tmp_path):
+    """History-side hot band key past max_band_fanout → star degrade:
+    the index is hand-seeded with many entries sharing every band (same
+    signature), and an incoming copy is still dropped via the anchor
+    comparison — the hot path must not silently lose the match."""
+    ing = _neardup_ing(tmp_path, max_band_fanout=2)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    assert ing.ingest(b1, "b-1")["accepted"] == 1
+    # seed 4 more index rows with the SAME signature/bands (ids 2..5) —
+    # fanout 5 > cap 2 on every band key of the incoming doc
+    idx = ing.index.read(spark)
+    extra = idx.crossJoin(
+        spark.range(2, 6).select(F.col("id").alias("__nid"))
+    ).select(
+        "band_idx", "band_hash", F.col("__nid").alias("doc_id"), "sig"
+    )
+    ing.index.commit(extra, snapshot_id="seed", partition_cols=[])
+    b2 = spark.createDataFrame([(10, text)], "doc_id long, text string")
+    assert ing.ingest(b2, "b-2")["accepted"] == 0
+
+
+def test_neardup_ingest_validation():
+    from punt_spark.dataops.ingest import NearDupIngestor
+
+    with pytest.raises(ValueError, match="divide"):
+        NearDupIngestor(None, None, num_hashes=7, bands=4)
+    with pytest.raises(ValueError, match="sig_mode"):
+        NearDupIngestor(None, None, sig_mode="sha9")
+
+
 def test_dedup_ingest_crash_between_data_and_index(spark, tmp_path):
     """Crash AFTER the data commit but BEFORE the index append: the retry
     must neither lose the batch (self-dedup against its own fingerprints)
