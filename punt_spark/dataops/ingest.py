@@ -318,6 +318,7 @@ def ingest_stream(
     id_col: str = "doc_id",
     max_files_per_trigger: int | None = 64,
     broadcast_hints: bool = True,
+    ingestor=None,
 ):
     """The continuous-ingestion daemon shape: ``readStream`` over a
     document directory → ``foreachBatch`` → :class:`DedupIngestor` — the
@@ -340,14 +341,21 @@ def ingest_stream(
     exceed the broadcast limit with no fallback. Pass ``None`` explicitly
     to drain a backlog in one batch — only with an upstream size
     guarantee, or together with ``broadcast_hints=False`` so AQE sizes
-    the joins from observed stats instead of the hard hint."""
-    ingestor = DedupIngestor(
-        data_table,
-        index_table,
-        text_col,
-        id_col,
-        broadcast_hints=broadcast_hints,
-    )
+    the joins from observed stats instead of the hard hint.
+
+    ``ingestor`` swaps the per-batch dedup engine: pass a configured
+    :class:`NearDupIngestor` (pointing at the SAME table pair) to run
+    the daemon with MinHash near-dup semantics instead of exact
+    fingerprints — the checkpoint/done-marker/exactly-once layering is
+    identical because both ingestors share the commit protocol."""
+    if ingestor is None:
+        ingestor = DedupIngestor(
+            data_table,
+            index_table,
+            text_col,
+            id_col,
+            broadcast_hints=broadcast_hints,
+        )
 
     def _batch(df: DataFrame, batch_id: int):
         ingestor.ingest(df, f"batch-{batch_id:08d}")

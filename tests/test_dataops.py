@@ -1979,6 +1979,46 @@ def test_ivf_topk_quantized_recall(vectors):
     assert hits / 25 >= 0.9
 
 
+def test_ingest_stream_neardup(spark, tmp_path):
+    """The streaming daemon with the MinHash engine swapped in
+    (ingest_stream(ingestor=NearDupIngestor(...))): a cross-drain NEAR
+    variant (one word changed) is dropped via the persistent band index;
+    novel text passes."""
+    import os as _os
+    import time as _time
+
+    from punt_spark.dataops.ingest import ingest_stream
+
+    src = str(tmp_path / "nd_docs_in")
+    _os.makedirs(src)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(_os.path.join(src, name))
+
+    ing = _neardup_ing(tmp_path)
+    ck = str(tmp_path / "nd_ckpt")
+
+    write_file(
+        "f1",
+        [(1, "the quick brown fox jumps over the lazy dog today again")],
+    )
+    ingest_stream(spark, src + "/*", ing.data, ing.index, ck, ingestor=ing)
+    _time.sleep(1.1)
+    write_file(
+        "f2",
+        [
+            (10, "the quick brown fox jumps over the lazy cat today again"),
+            (11, "fresh unique text with novel tokens nobody used before"),
+        ],
+    )
+    ingest_stream(spark, src + "/*", ing.data, ing.index, ck, ingestor=ing)
+    assert {
+        r["doc_id"] for r in ing.data.read(spark).collect()
+    } == {1, 11}
+
+
 def test_ingest_stream_continuous_dedup(spark, tmp_path):
     """Streaming ingest daemon (readStream -> foreachBatch ->
     DedupIngestor): two drains over a growing directory — cross-drain
