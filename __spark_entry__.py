@@ -1522,10 +1522,10 @@ def oracle_sql() -> dict[str, str]:
                 WHERE len(ws) >= 3
             ), sigs AS (
                 SELECT doc_id,
-                       min(md5('0' || shingle)) AS h0,
-                       min(md5('1' || shingle)) AS h1,
-                       min(md5('2' || shingle)) AS h2,
-                       min(md5('3' || shingle)) AS h3
+                       min(md5('0' || chr(31) || shingle)) AS h0,
+                       min(md5('1' || chr(31) || shingle)) AS h1,
+                       min(md5('2' || chr(31) || shingle)) AS h2,
+                       min(md5('3' || chr(31) || shingle)) AS h3
                 FROM sh GROUP BY doc_id
             ), bands AS (
                 SELECT doc_id, 0 AS band_idx,

@@ -145,9 +145,13 @@ def md5_minhash_signatures(
     absent ids as unmatched, not dropped."""
     d = with_shingles(df, text_col, shingle_n).filter(F.size("shingles") > 0)
     mins = [
+        # US separator between the permutation index and the shingle —
+        # without it j=3 on shingle '1x' hashes the same bytes as j=31
+        # on 'x', correlating permutations for digit-leading shingles
+        # (the same reason minhash_signatures separates with \x1f)
         F.expr(
             "array_min(transform(shingles,"
-            f" s -> md5(cast(concat('{j}', s) as binary))))"
+            f" s -> md5(cast(concat('{j}\x1f', s) as binary))))"
         ).alias(f"h{j}")
         for j in range(num_hashes)
     ]

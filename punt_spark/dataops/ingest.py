@@ -56,7 +56,51 @@ from .dedup import (
 FP_COL = "fp"
 
 
-class DedupIngestor:
+class _CommitProtocolIngestor:
+    """The crash-window commit skeleton, in ONE place (a fix to the
+    ordering or marker semantics must not be able to miss a sibling):
+    done-marker skip → read-or-empty history → plan the accepted set →
+    checkpoint+count → data commit FIRST → index commit LAST. Subclasses
+    define ``INDEX_SCHEMA`` and ``_plan(batch, hist) -> (accepted,
+    index_rows_fn)`` where ``index_rows_fn(accepted_checkpointed)``
+    builds the rows the done-marker commit appends. The module-docstring
+    crash analysis holds for any subclass whose accepted set is a
+    deterministic function of (batch, index-without-this-batch)."""
+
+    INDEX_SCHEMA: str
+
+    def __init__(self, data_table: SnapshotTable, index_table: SnapshotTable):
+        self.data = data_table
+        self.index = index_table
+
+    def _plan(self, batch: DataFrame, hist: DataFrame):
+        raise NotImplementedError
+
+    def ingest(self, batch: DataFrame, batch_id: str) -> dict:
+        """Process one batch; returns {"batch_id", "accepted", "skipped"}."""
+        spark = batch.sparkSession
+        if self.index.has_snapshot(batch_id):
+            # done marker present → both commits landed in a prior attempt
+            return {"batch_id": batch_id, "accepted": None, "skipped": True}
+        hist = self.index.read(spark)
+        if hist is None:
+            hist = spark.createDataFrame([], self.INDEX_SCHEMA)
+        accepted, index_rows = self._plan(batch, hist)
+        # one computation feeds BOTH commits: the accepted set is
+        # deterministic, but recomputing it per commit would scan the
+        # index twice for nothing
+        accepted = accepted.localCheckpoint()
+        n = accepted.count()
+        # ORDER MATTERS — data first, index (the done marker) last; see
+        # module docstring for the crash-window analysis
+        self.data.commit(accepted, snapshot_id=batch_id, partition_cols=[])
+        self.index.commit(
+            index_rows(accepted), snapshot_id=batch_id, partition_cols=[]
+        )
+        return {"batch_id": batch_id, "accepted": n, "skipped": False}
+
+
+class DedupIngestor(_CommitProtocolIngestor):
     """Ingest batches into ``data_table`` keeping the corpus exactly-deduped
     across batches via a persistent fingerprint index in ``index_table``.
 
@@ -64,7 +108,12 @@ class DedupIngestor:
     one ingest daemon owns the (data, index) pair — the reference's
     one-consumer-per-cluster structure. Batch ids must be stable across
     retries (e.g. the streaming micro-batch id or a source offset range).
-    """
+
+    Per batch: drop docs whose normalized-text fingerprint already exists
+    in the index (or earlier in this batch — min-id representative kept),
+    commit survivors, append their fingerprints as the done marker."""
+
+    INDEX_SCHEMA = f"{FP_COL} string"
 
     def __init__(
         self,
@@ -74,8 +123,7 @@ class DedupIngestor:
         id_col: str = "doc_id",
         broadcast_hints: bool = True,
     ):
-        self.data = data_table
-        self.index = index_table
+        super().__init__(data_table, index_table)
         self.text_col = text_col
         self.id_col = id_col
         # True presumes BOUNDED micro-batches (the ingest_stream default
@@ -84,19 +132,7 @@ class DedupIngestor:
         # hint has no fallback (see incremental_dedup's docstring)
         self.broadcast_hints = broadcast_hints
 
-    def ingest(self, batch: DataFrame, batch_id: str) -> dict:
-        """Process one batch: drop docs whose normalized-text fingerprint
-        already exists in the index (or earlier in this batch — min-id
-        representative kept), commit survivors to the data table, then
-        append their fingerprints to the index. Returns
-        {"batch_id", "accepted", "skipped"}."""
-        spark = batch.sparkSession
-        if self.index.has_snapshot(batch_id):
-            # done marker present → both commits landed in a prior attempt
-            return {"batch_id": batch_id, "accepted": None, "skipped": True}
-        hist = self.index.read(spark)
-        if hist is None:
-            hist = spark.createDataFrame([], f"{FP_COL} string")
+    def _plan(self, batch: DataFrame, hist: DataFrame):
         accepted = incremental_dedup(
             batch,
             hist,
@@ -105,22 +141,14 @@ class DedupIngestor:
             history_fp_col=FP_COL,
             broadcast_hints=self.broadcast_hints,
         )
-        # one computation feeds BOTH commits: the accepted set is
-        # deterministic, but recomputing it per commit would scan the
-        # index twice for nothing
-        accepted = accepted.localCheckpoint()
-        n = accepted.count()
-        # ORDER MATTERS — data first, index (the done marker) last; see
-        # module docstring for the crash-window analysis
-        self.data.commit(accepted, snapshot_id=batch_id, partition_cols=[])
-        fps = accepted.select(
-            _norm_fingerprint(self.text_col).alias(FP_COL)
-        )
-        self.index.commit(fps, snapshot_id=batch_id, partition_cols=[])
-        return {"batch_id": batch_id, "accepted": n, "skipped": False}
+
+        def index_rows(acc: DataFrame) -> DataFrame:
+            return acc.select(_norm_fingerprint(self.text_col).alias(FP_COL))
+
+        return accepted, index_rows
 
 
-class NearDupIngestor:
+class NearDupIngestor(_CommitProtocolIngestor):
     """Continuous-ingestion NEAR-duplicate dedup: the MinHash twin of
     :class:`DedupIngestor` — each batch is checked against a persistent
     LSH band index of previously ACCEPTED documents, survivors committed
@@ -147,15 +175,18 @@ class NearDupIngestor:
       :class:`DedupIngestor` alongside if byte-identical shorts matter).
 
     Scale shape: the index stores (band_idx, band_hash, doc_id, sig) —
-    ``bands`` rows ≈ 2 KB/doc at 32 hashes; per batch the index STREAMS
-    through one join against the (broadcast, bounded) batch band keys
-    and never shuffles; on a real deployment the index table is bucketed
-    on band_hash so the scan also prunes. A band key hot on the HISTORY
-    side (many dissimilar accepted docs coincidentally sharing a band)
-    past ``max_band_fanout`` degrades to comparing each batch doc
-    against the key's min-id accepted doc only — the repo's standard
-    star degrade (simhash/semantic_dedup), linear in hits, with the same
-    documented recall trade for diverse hot buckets.
+    ``bands`` rows ≈ 2 KB/doc at 32 hashes; per batch the FULL index
+    scans exactly once (the semi join against the broadcast batch band
+    keys, itself never shuffled), materializing the hit subset — bounded
+    by the batch's key overlap, not the index — which the census and
+    pair join then consume; on a real deployment the index table is
+    bucketed on band_hash so that one scan also prunes. Hot band keys on
+    EITHER side past ``max_band_fanout`` — many dissimilar accepted docs
+    coincidentally sharing an index band, or a viral cluster arriving in
+    one (backlog) batch — degrade to comparing against the key's min-id
+    doc only: the repo's standard star degrade (simhash/semantic_dedup),
+    linear in bucket size, with the same documented recall trade for
+    diverse hot buckets.
 
     ``sig_mode``: ``"xxhash"`` (production — JVM-native 64-bit hashes)
     or ``"md5"`` (oracle-replayable hex signatures for gates/tests);
@@ -188,8 +219,7 @@ class NearDupIngestor:
             )
         if sig_mode not in ("xxhash", "md5"):
             raise ValueError(f"unknown sig_mode {sig_mode!r}")
-        self.data = data_table
-        self.index = index_table
+        super().__init__(data_table, index_table)
         self.text_col = text_col
         self.id_col = id_col
         self.num_hashes = num_hashes
@@ -214,16 +244,9 @@ class NearDupIngestor:
         )
         return sigs.withColumn("sig", F.col("sig").cast("array<string>"))
 
-    def ingest(self, batch: DataFrame, batch_id: str) -> dict:
-        """Process one batch; returns {"batch_id", "accepted", "skipped"}.
-        Precondition: ``id_col`` non-NULL and unique (the exact_dedup /
+    def _plan(self, batch: DataFrame, hist: DataFrame):
+        """Precondition: ``id_col`` non-NULL and unique (the exact_dedup /
         cap_rank contract)."""
-        spark = batch.sparkSession
-        if self.index.has_snapshot(batch_id):
-            return {"batch_id": batch_id, "accepted": None, "skipped": True}
-        hist = self.index.read(spark)
-        if hist is None:
-            hist = spark.createDataFrame([], self.INDEX_SCHEMA)
         maybe_bc = F.broadcast if self.broadcast_hints else (lambda d: d)
         est = F.round(F.expr(sig_agreement("sig_a", "sig_b")), self.round_dp)
 
@@ -232,7 +255,11 @@ class NearDupIngestor:
         sigs = self._signatures(batch).localCheckpoint()
         bbands = banded_str(sigs, self.id_col, self.bands)
 
-        # --- cross-batch: history streams once against the batch keys
+        # --- cross-batch: the FULL index streams exactly once (the semi
+        # join below); the materialized hit subset — bounded by the
+        # batch's key overlap, not the index size — is what the census
+        # and the pair join then consume (persist-at-fan-out: without the
+        # checkpoint each branch would rescan the whole index parquet)
         bkeys = bbands.select(
             "band_idx",
             "band_hash",
@@ -243,7 +270,7 @@ class NearDupIngestor:
             maybe_bc(bkeys.select("band_idx", "band_hash").distinct()),
             ["band_idx", "band_hash"],
             "left_semi",
-        )
+        ).localCheckpoint()
         stats = hits.groupBy("band_idx", "band_hash").agg(
             F.count(F.lit(1)).alias("__n"),
             F.min_by(
@@ -273,38 +300,74 @@ class NearDupIngestor:
             .select(F.col("__bid").alias(self.id_col))
         )
 
-        # --- within-batch: shadow rule over the batch's own band buckets
-        a = bbands.select(
+        # --- within-batch: shadow rule over the batch's own band
+        # buckets, with the same ``max_band_fanout`` cap as the history
+        # side — a viral cluster arriving in ONE batch (a backlog drain
+        # with max_files_per_trigger=None) would otherwise put O(c²)
+        # pairs on its band keys; over-cap buckets degrade to the
+        # min-id-anchor star, which still drops every member of an
+        # identical cluster down to the anchor
+        bstats = bbands.groupBy("band_idx", "band_hash").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min_by(
+                F.struct(
+                    F.col(self.id_col).alias("aid"), F.col("sig").alias("asig")
+                ),
+                F.col(self.id_col),
+            ).alias("__anchor"),
+        )
+        bcool = bstats.filter(F.col("__n") <= self.max_band_fanout).select(
+            "band_idx", "band_hash"
+        )
+        bhot = bstats.filter(F.col("__n") > self.max_band_fanout).select(
+            "band_idx", "band_hash", "__anchor.aid", "__anchor.asig"
+        )
+        cool_bands = bbands.join(
+            maybe_bc(bcool), ["band_idx", "band_hash"], "left_semi"
+        )
+        a = cool_bands.select(
             "band_idx",
             "band_hash",
             F.col(self.id_col).alias("__ida"),
             F.col("sig").alias("sig_a"),
         )
-        b = bbands.select(
+        b = cool_bands.select(
             "band_idx",
             "band_hash",
             F.col(self.id_col).alias("__idb"),
             F.col("sig").alias("sig_b"),
         )
-        dropped_within = (
+        within_cool = (
             a.join(b, ["band_idx", "band_hash"])
             .filter(F.col("__ida") < F.col("__idb"))
             .filter(est >= self.threshold)
             .select(F.col("__idb").alias(self.id_col))
         )
+        within_star = (
+            bbands.join(maybe_bc(bhot), ["band_idx", "band_hash"])
+            .filter(F.col(self.id_col) != F.col("aid"))
+            .select(
+                F.col(self.id_col),
+                F.col("sig").alias("sig_b"),
+                F.col("asig").alias("sig_a"),
+            )
+            .filter(est >= self.threshold)
+            .select(self.id_col)
+        )
 
-        dropped = dropped_cross.unionByName(dropped_within).distinct()
-        accepted = batch.join(
-            maybe_bc(dropped), self.id_col, "left_anti"
-        ).localCheckpoint()
-        n = accepted.count()
-        # data first, index (the done marker) last — module docstring
-        self.data.commit(accepted, snapshot_id=batch_id, partition_cols=[])
-        acc_index = bbands.join(
-            maybe_bc(accepted.select(self.id_col)), self.id_col, "left_semi"
-        ).select("band_idx", "band_hash", self.id_col, "sig")
-        self.index.commit(acc_index, snapshot_id=batch_id, partition_cols=[])
-        return {"batch_id": batch_id, "accepted": n, "skipped": False}
+        dropped = (
+            dropped_cross.unionByName(within_cool)
+            .unionByName(within_star)
+            .distinct()
+        )
+        accepted = batch.join(maybe_bc(dropped), self.id_col, "left_anti")
+
+        def index_rows(acc: DataFrame) -> DataFrame:
+            return bbands.join(
+                maybe_bc(acc.select(self.id_col)), self.id_col, "left_semi"
+            ).select("band_idx", "band_hash", self.id_col, "sig")
+
+        return accepted, index_rows
 
 
 def ingest_stream(

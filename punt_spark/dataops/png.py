@@ -124,18 +124,21 @@ def png_decode(payload: bytes) -> np.ndarray:
             cur = np.zeros(stride, dtype=np.uint8)
             li = line.astype(np.int16)
             for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
+                # plain Python ints throughout: mixing np.uint8 scalars
+                # into p-a / abs() raises or wraps under numpy>=2 (NEP 50
+                # ends value-based casting) — p ranges [-255, 510]
+                a = int(cur[x - nch]) if x >= nch else 0
                 if ftype == 1:
-                    v = li[x] + a
+                    v = int(li[x]) + a
                 elif ftype == 3:
-                    v = li[x] + ((int(a) + int(prev[x])) >> 1)
+                    v = int(li[x]) + ((a + int(prev[x])) >> 1)
                 else:
-                    c = prev[x - nch] if x >= nch else 0
-                    b = prev[x]
-                    p = int(a) + int(b) - int(c)
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - int(c))
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    b = int(prev[x])
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                    v = li[x] + int(pred)
+                    v = int(li[x]) + pred
                 cur[x] = v & 0xFF
         else:
             raise ValueError(f"invalid PNG filter type {ftype}")

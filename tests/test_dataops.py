@@ -1885,6 +1885,23 @@ def test_neardup_ingest_hot_band_star(spark, tmp_path):
     assert ing.ingest(b2, "b-2")["accepted"] == 0
 
 
+def test_neardup_ingest_within_batch_viral_cap(spark, tmp_path):
+    """A viral cluster arriving in ONE batch (the backlog-drain shape)
+    past max_band_fanout takes the within-batch star path: exactly the
+    min-id member survives, never O(c²) pairs."""
+    ing = _neardup_ing(tmp_path, max_band_fanout=3)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in range(10)] + [
+        (100, "different words entirely for the unrelated control doc")
+    ]
+    b = spark.createDataFrame(rows, "doc_id long, text string")
+    assert ing.ingest(b, "b-1")["accepted"] == 2
+    corpus = {
+        r["doc_id"] for r in ing.data.read(spark).select("doc_id").collect()
+    }
+    assert corpus == {0, 100}
+
+
 def test_neardup_ingest_validation():
     from punt_spark.dataops.ingest import NearDupIngestor
 
