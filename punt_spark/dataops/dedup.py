@@ -136,26 +136,29 @@ def md5_minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<string>[num_hashes]) — the ORACLE-REPLAYABLE
     signature family: permutation j = md5 with a numeric prefix, min hex
-    string per shingle set (DuckDB: ``min(md5(j || shingle))``). Same
-    shuffle-free per-row shape as :func:`minhash_signatures`; use that
-    (xxhash64, JVM-cheap) in production and THIS where a DuckDB gate must
-    replay the signature bit-for-bit (the md5-LSH gate family of
-    ``q_dedup_minhash_pairs`` / the near-dup ingest fold). Docs with no
-    shingles (< shingle_n tokens) are excluded — callers must treat
-    absent ids as unmatched, not dropped."""
+    string per shingle set (DuckDB: ``min(md5(j || chr(31) || shingle))``).
+    Use :func:`minhash_signatures` (xxhash64, JVM-cheap, per-row) in
+    production and THIS where a DuckDB gate must replay the signature
+    bit-for-bit (the md5-LSH gate family of ``q_dedup_minhash_pairs`` /
+    the near-dup ingest fold). Unlike the xxhash64 twin this uses the
+    explode+groupBy shape: md5-of-string is expensive enough that the
+    codegen'd aggregate beats the interpreted per-row lambda ~10×
+    (module docstring) and is worth the one map-side-combined shuffle.
+    Docs with no shingles (< shingle_n tokens) are excluded — callers
+    must treat absent ids as unmatched, not dropped."""
     d = with_shingles(df, text_col, shingle_n).filter(F.size("shingles") > 0)
+    ex = d.select(F.col(id_col), F.explode("shingles").alias("__s"))
     mins = [
         # US separator between the permutation index and the shingle —
         # without it j=3 on shingle '1x' hashes the same bytes as j=31
         # on 'x', correlating permutations for digit-leading shingles
         # (the same reason minhash_signatures separates with \x1f)
-        F.expr(
-            "array_min(transform(shingles,"
-            f" s -> md5(cast(concat('{j}\x1f', s) as binary))))"
+        F.min(
+            F.md5(F.concat(F.lit(f"{j}\x1f"), F.col("__s")).cast("binary"))
         ).alias(f"h{j}")
         for j in range(num_hashes)
     ]
-    sig = d.select(F.col(id_col), *mins)
+    sig = ex.groupBy(id_col).agg(*mins)
     return sig.select(
         id_col, F.array(*[f"h{j}" for j in range(num_hashes)]).alias("sig")
     )
@@ -188,6 +191,34 @@ def sig_agreement(a: str, b: str) -> str:
         f"size(filter(zip_with({a}, {b}, (x, y) -> x = y), t -> t))"
         f" / cast(size({a}) as double)"
     )
+
+
+def bucket_census(
+    df: DataFrame,
+    keys: list[str],
+    cap: int,
+    anchor: dict[str, str],
+    order: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """THE hot-bucket census behind every capped pair join (simhash
+    chunks, near-dup ingest bands, SemDeDup clusters): group ``df`` on
+    ``keys``, pick each bucket's anchor row (lexicographic min of
+    ``order``, carrying the ``anchor`` {out_name: in_col} payload), and
+    split buckets at ``cap``. Returns ``(cool, hot)`` — ``cool`` is the
+    key set whose buckets may pair quadratically, ``hot`` is keys +
+    anchor payload for the linear star degrade. One definition so a fix
+    to the cap comparison or the anchor tie-break cannot miss a sibling
+    (the same single-source rule as ``exact_key``)."""
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min_by(
+            F.struct(*[F.col(src).alias(dst) for dst, src in anchor.items()]),
+            F.struct(*[F.col(c) for c in order]),
+        ).alias("__anchor"),
+    )
+    cool = stats.filter(F.col("__n") <= cap).select(*keys)
+    hot = stats.filter(F.col("__n") > cap).select(*keys, "__anchor.*")
+    return cool, hot
 
 
 def lsh_candidate_pairs(
@@ -679,16 +710,12 @@ def simhash_near_dup_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    bucket_stats = chunks.groupBy("chunk_idx", "chunk_val").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min(id_col).alias("__aid"),
-        F.min_by("simhash", F.col(id_col)).alias("__asig"),
-    )
-    cool = bucket_stats.filter(F.col("__n") <= max_bucket).select(
-        "chunk_idx", "chunk_val"
-    )
-    hot = bucket_stats.filter(F.col("__n") > max_bucket).select(
-        "chunk_idx", "chunk_val", "__aid", "__asig"
+    cool, hot = bucket_census(
+        chunks,
+        ["chunk_idx", "chunk_val"],
+        max_bucket,
+        {"__aid": id_col, "__asig": "simhash"},
+        [id_col],
     )
     cool_chunks = chunks.join(cool, ["chunk_idx", "chunk_val"], "left_semi")
     a = cool_chunks.select(

@@ -40,13 +40,24 @@ silent data loss.
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..sink import SnapshotTable
 from .dedup import (
     _norm_fingerprint,
     banded_str,
+    bucket_census,
     incremental_dedup,
     md5_minhash_signatures,
     minhash_signatures,
@@ -61,13 +72,11 @@ class _CommitProtocolIngestor:
     ordering or marker semantics must not be able to miss a sibling):
     done-marker skip → read-or-empty history → plan the accepted set →
     checkpoint+count → data commit FIRST → index commit LAST. Subclasses
-    define ``INDEX_SCHEMA`` and ``_plan(batch, hist) -> (accepted,
+    define ``_empty_history`` and ``_plan(batch, hist) -> (accepted,
     index_rows_fn)`` where ``index_rows_fn(accepted_checkpointed)``
     builds the rows the done-marker commit appends. The module-docstring
     crash analysis holds for any subclass whose accepted set is a
     deterministic function of (batch, index-without-this-batch)."""
-
-    INDEX_SCHEMA: str
 
     def __init__(self, data_table: SnapshotTable, index_table: SnapshotTable):
         self.data = data_table
@@ -76,15 +85,27 @@ class _CommitProtocolIngestor:
     def _plan(self, batch: DataFrame, hist: DataFrame):
         raise NotImplementedError
 
+    def _empty_history(self, spark, batch: DataFrame) -> DataFrame:
+        """The fresh-index history frame; takes ``batch`` because a
+        subclass's index schema may inherit column names/types from the
+        batch (NearDupIngestor's id column)."""
+        raise NotImplementedError
+
+    def _check_index_compat(self, batch: DataFrame):
+        """Hook called before planning — subclasses whose index rows are
+        a function of tunable config (LSH geometry) validate here that
+        this ingestor's config matches the persistent index."""
+
     def ingest(self, batch: DataFrame, batch_id: str) -> dict:
         """Process one batch; returns {"batch_id", "accepted", "skipped"}."""
         spark = batch.sparkSession
         if self.index.has_snapshot(batch_id):
             # done marker present → both commits landed in a prior attempt
             return {"batch_id": batch_id, "accepted": None, "skipped": True}
+        self._check_index_compat(batch)
         hist = self.index.read(spark)
         if hist is None:
-            hist = spark.createDataFrame([], self.INDEX_SCHEMA)
+            hist = self._empty_history(spark, batch)
         accepted, index_rows = self._plan(batch, hist)
         # one computation feeds BOTH commits: the accepted set is
         # deterministic, but recomputing it per commit would scan the
@@ -113,8 +134,6 @@ class DedupIngestor(_CommitProtocolIngestor):
     in the index (or earlier in this batch — min-id representative kept),
     commit survivors, append their fingerprints as the done marker."""
 
-    INDEX_SCHEMA = f"{FP_COL} string"
-
     def __init__(
         self,
         data_table: SnapshotTable,
@@ -131,6 +150,9 @@ class DedupIngestor(_CommitProtocolIngestor):
         # AQE picks broadcast-vs-shuffle from observed sizes — the hard
         # hint has no fallback (see incremental_dedup's docstring)
         self.broadcast_hints = broadcast_hints
+
+    def _empty_history(self, spark, batch: DataFrame) -> DataFrame:
+        return spark.createDataFrame([], f"{FP_COL} string")
 
     def _plan(self, batch: DataFrame, hist: DataFrame):
         accepted = incremental_dedup(
@@ -191,12 +213,15 @@ class NearDupIngestor(_CommitProtocolIngestor):
     ``sig_mode``: ``"xxhash"`` (production — JVM-native 64-bit hashes)
     or ``"md5"`` (oracle-replayable hex signatures for gates/tests);
     signatures are carried as array<string> either way so the index
-    schema is mode-independent.
+    schema is mode-independent. The LSH GEOMETRY is not: index rows are
+    a function of (num_hashes, bands, shingle_n, sig_mode), so a daemon
+    restarted with different values would never collide with the stored
+    bands and silently re-accept every near-duplicate. The first ingest
+    pins the geometry in ``_lsh_config.json`` beside the index (the
+    ``_spec.json`` pattern) and every later ingest validates against it
+    — a mismatch is a hard error naming both configs; an index with zero
+    snapshots adopts the new config (nothing stored to disagree with).
     """
-
-    INDEX_SCHEMA = (
-        "band_idx int, band_hash string, doc_id long, sig array<string>"
-    )
 
     def __init__(
         self,
@@ -232,6 +257,59 @@ class NearDupIngestor(_CommitProtocolIngestor):
         self.round_dp = round_dp
         self.max_band_fanout = max_band_fanout
         self.broadcast_hints = broadcast_hints
+
+    @property
+    def _lsh_config(self) -> dict:
+        return {
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "shingle_n": self.shingle_n,
+            "sig_mode": self.sig_mode,
+        }
+
+    def _check_index_compat(self, batch: DataFrame):
+        path = os.path.join(self.index.root, "_lsh_config.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)
+            if stored != self._lsh_config:
+                # a config pinned before any snapshot published is
+                # unobservable — adopt the new one (the _spec.json rule)
+                if self.index.snapshots():
+                    raise ValueError(
+                        f"LSH config mismatch on index {self.index.root!r}:"
+                        f" stored {stored}, ingestor {self._lsh_config} —"
+                        " stored bands would never collide with this"
+                        " geometry, silently disabling cross-batch dedup."
+                        " Rebuild the index or restore the stored config."
+                    )
+                self._write_lsh_config(path)
+            return
+        self._write_lsh_config(path)
+
+    def _write_lsh_config(self, path: str):
+        os.makedirs(self.index.root, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._lsh_config, f)
+        os.replace(tmp, path)
+
+    def _empty_history(self, spark, batch: DataFrame) -> DataFrame:
+        # the id column's name AND type follow the batch — a hardcoded
+        # "doc_id long" would unresolve under any custom id_col
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("band_idx", IntegerType()),
+                    StructField("band_hash", StringType()),
+                    StructField(
+                        self.id_col, batch.schema[self.id_col].dataType
+                    ),
+                    StructField("sig", ArrayType(StringType())),
+                ]
+            ),
+        )
 
     def _signatures(self, batch: DataFrame) -> DataFrame:
         fn = (
@@ -271,20 +349,12 @@ class NearDupIngestor(_CommitProtocolIngestor):
             ["band_idx", "band_hash"],
             "left_semi",
         ).localCheckpoint()
-        stats = hits.groupBy("band_idx", "band_hash").agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min_by(
-                F.struct(
-                    F.col(self.id_col).alias("aid"), F.col("sig").alias("asig")
-                ),
-                F.col(self.id_col),
-            ).alias("__anchor"),
-        )
-        cool = stats.filter(F.col("__n") <= self.max_band_fanout).select(
-            "band_idx", "band_hash"
-        )
-        hot = stats.filter(F.col("__n") > self.max_band_fanout).select(
-            "band_idx", "band_hash", "__anchor.asig"
+        cool, hot = bucket_census(
+            hits,
+            ["band_idx", "band_hash"],
+            self.max_band_fanout,
+            {"aid": self.id_col, "asig": "sig"},
+            [self.id_col],
         )
         cool_pairs = (
             hits.join(maybe_bc(cool), ["band_idx", "band_hash"], "left_semi")
@@ -307,20 +377,12 @@ class NearDupIngestor(_CommitProtocolIngestor):
         # pairs on its band keys; over-cap buckets degrade to the
         # min-id-anchor star, which still drops every member of an
         # identical cluster down to the anchor
-        bstats = bbands.groupBy("band_idx", "band_hash").agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min_by(
-                F.struct(
-                    F.col(self.id_col).alias("aid"), F.col("sig").alias("asig")
-                ),
-                F.col(self.id_col),
-            ).alias("__anchor"),
-        )
-        bcool = bstats.filter(F.col("__n") <= self.max_band_fanout).select(
-            "band_idx", "band_hash"
-        )
-        bhot = bstats.filter(F.col("__n") > self.max_band_fanout).select(
-            "band_idx", "band_hash", "__anchor.aid", "__anchor.asig"
+        bcool, bhot = bucket_census(
+            bbands,
+            ["band_idx", "band_hash"],
+            self.max_band_fanout,
+            {"aid": self.id_col, "asig": "sig"},
+            [self.id_col],
         )
         cool_bands = bbands.join(
             maybe_bc(bcool), ["band_idx", "band_hash"], "left_semi"
@@ -377,10 +439,10 @@ def ingest_stream(
     index_table: SnapshotTable,
     checkpoint: str,
     schema: str = "doc_id long, text string",
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    text_col: str | None = None,
+    id_col: str | None = None,
     max_files_per_trigger: int | None = 64,
-    broadcast_hints: bool = True,
+    broadcast_hints: bool | None = None,
     ingestor=None,
 ):
     """The continuous-ingestion daemon shape: ``readStream`` over a
@@ -410,14 +472,24 @@ def ingest_stream(
     :class:`NearDupIngestor` (pointing at the SAME table pair) to run
     the daemon with MinHash near-dup semantics instead of exact
     fingerprints — the checkpoint/done-marker/exactly-once layering is
-    identical because both ingestors share the commit protocol."""
+    identical because both ingestors share the commit protocol.
+    ``text_col``/``id_col``/``broadcast_hints`` configure the DEFAULT
+    :class:`DedupIngestor` only; combining them with an explicit
+    ``ingestor`` is rejected (the ingestor already carries its own —
+    silently deduping on the wrong column is the failure mode)."""
     if ingestor is None:
         ingestor = DedupIngestor(
             data_table,
             index_table,
-            text_col,
-            id_col,
-            broadcast_hints=broadcast_hints,
+            "text" if text_col is None else text_col,
+            "doc_id" if id_col is None else id_col,
+            broadcast_hints=True if broadcast_hints is None else broadcast_hints,
+        )
+    elif any(v is not None for v in (text_col, id_col, broadcast_hints)):
+        raise ValueError(
+            "text_col/id_col/broadcast_hints configure the default"
+            " DedupIngestor; with an explicit ingestor, set them on the"
+            " ingestor itself"
         )
 
     def _batch(df: DataFrame, batch_id: int):

@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .dedup import bucket_census
+
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 # Integer-code dot product: accumulate in BIGINT so the sum is exact (no
@@ -597,6 +599,18 @@ def semantic_dedup(
         v = vectors.select(
             id_col, F.col(vec_col).cast("array<double>").alias("v")
         ).withColumn("__nv", F.expr(f"sqrt({_DOT.format(a='v', b='v')})"))
+        def dlit(x: float) -> str:
+            # non-finite floats have no bare SQL literal: repr(nan) is
+            # 'nan', which Spark resolves as a COLUMN and aborts the job
+            # — emit the cast form so a NaN/Inf component in an anchor
+            # embedding degrades to a NULL sim (the _cos totality
+            # contract) instead of an AnalysisException
+            if math.isnan(x):
+                return "double('NaN')"
+            if math.isinf(x):
+                return f"double('{'-' if x < 0 else ''}Infinity')"
+            return repr(x)
+
         cent_structs = []
         for r in cents:
             # centroid norm folded to a constant with the engines' exact
@@ -606,10 +620,10 @@ def semantic_dedup(
             sq = 0.0
             for x in r.cv:
                 sq += float(x) * float(x)
-            lit = "array(" + ",".join(repr(float(x)) for x in r.cv) + ")"
+            lit = "array(" + ",".join(dlit(float(x)) for x in r.cv) + ")"
             cent_structs.append(
-                f"struct({int(r.cid)}L AS cid, {math.sqrt(sq)!r}D AS nc, "
-                f"{lit} AS cv)"
+                f"struct({int(r.cid)}L AS cid, "
+                f"cast({dlit(math.sqrt(sq))} as double) AS nc, {lit} AS cv)"
             )
         cents_sql = f"array({', '.join(cent_structs)})"
         # one SQL-lambda pass (each centroid literal and the cosine code
@@ -639,16 +653,12 @@ def semantic_dedup(
     # sides all consume it (the repo's persist-at-fan-out rule)
     assigned = assigned.localCheckpoint()
 
-    stats = assigned.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min_by(
-            F.struct(F.col(id_col).alias("aid"), F.col("v").alias("av")),
-            F.struct(F.col("csim_r"), F.col(id_col)),
-        ).alias("__anchor"),
-    )
-    cool = stats.filter(F.col("__n") <= max_cluster).select("cluster")
-    hot = stats.filter(F.col("__n") > max_cluster).select(
-        "cluster", "__anchor.aid", "__anchor.av"
+    cool, hot = bucket_census(
+        assigned,
+        ["cluster"],
+        max_cluster,
+        {"aid": id_col, "av": "v"},
+        ["csim_r", id_col],
     )
 
     cool_rows = assigned.join(F.broadcast(cool), "cluster", "left_semi")

@@ -752,6 +752,32 @@ def test_semantic_dedup_star_degrade(spark):
     assert int(out["is_dup"].sum()) == 30
 
 
+def test_semantic_dedup_nan_anchor_component(spark):
+    """A NaN component in one of the n_clusters lowest-id embeddings (an
+    ANCHOR in anchor mode) must degrade to NULL sims per the module's
+    totality contract — not abort the job via an unparseable 'nan'
+    centroid literal. Finite rows keep their normal assignment."""
+    df = spark.createDataFrame(
+        [
+            (0, [float("nan"), 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.0, 0.99]),
+            (3, [0.0, 0.98]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = (
+        similarity.semantic_dedup(df, n_clusters=2, threshold=0.9)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert sorted(out.index) == [0, 1, 2, 3]  # totality: every row returns
+    # the finite near-identical trio still dedups against centroid id 1
+    assert out.loc[[1, 2, 3], "cluster"].tolist() == [1, 1, 1]
+    assert int(out.loc[[1, 2, 3], "is_dup"].sum()) == 2
+
+
 def test_score_buckets_ccnet_tiers(spark):
     """Tertile bands on a known score set: 9 rows 1..9 → exact tertile
     cuts land between grid values; NULL score stays NULL-labelled; the
@@ -1033,6 +1059,14 @@ def test_avi_walker_roundtrip():
     assert got == frames  # odd-sized chunks hit the RIFF pad byte
     with pytest.raises(ValueError, match="RIFF/AVI magic"):
         multimodal.avi_walk(b"garbage bytes here")
+
+
+def test_video_feature_zero_frames():
+    """A structurally valid AVI with zero movi frames takes the clean
+    per-row decode error path (avi_walk's own message), never an opaque
+    numpy crash from an empty concatenate."""
+    with pytest.raises(ValueError, match="no video frame chunks"):
+        multimodal._video_feature(multimodal.avi_encode([]), dim=8)
 
 
 def test_multimodal_real_frame_sampling(spark):
@@ -1909,6 +1943,112 @@ def test_neardup_ingest_validation():
         NearDupIngestor(None, None, num_hashes=7, bands=4)
     with pytest.raises(ValueError, match="sig_mode"):
         NearDupIngestor(None, None, sig_mode="sha9")
+
+
+def test_neardup_ingest_custom_id_col(spark, tmp_path):
+    """A non-default id column (different name AND type) must work from
+    the very first batch — the empty-history schema inherits the id
+    column from the batch instead of hardcoding 'doc_id long'."""
+    ing = _neardup_ing(tmp_path, id_col="msg_id")
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [("m-1", text), ("m-2", "totally unrelated other words here okay")],
+        "msg_id string, text string",
+    )
+    assert ing.ingest(b1, "b-1")["accepted"] == 2
+    b2 = spark.createDataFrame(
+        [("m-3", text + " kappa")], "msg_id string, text string"
+    )
+    assert ing.ingest(b2, "b-2")["accepted"] == 0
+
+
+def test_neardup_ingest_lsh_config_guard(spark, tmp_path):
+    """An index built under one LSH geometry must refuse an ingestor with
+    another: the stored bands would never collide with the new geometry
+    and every near-dup would be silently re-accepted. Same config across
+    a restart keeps working; an EMPTY index adopts the new config."""
+    from punt_spark.dataops.ingest import NearDupIngestor
+
+    ing = _neardup_ing(tmp_path)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ing.ingest(b1, "b-1")
+
+    # restart with the SAME geometry → fine (cross-batch dedup fires)
+    same = _neardup_ing(tmp_path)
+    b2 = spark.createDataFrame([(2, text)], "doc_id long, text string")
+    assert same.ingest(b2, "b-2")["accepted"] == 0
+
+    # restart with a DIFFERENT geometry → hard error, not silent drift
+    other = _neardup_ing(tmp_path, num_hashes=16, bands=8)
+    with pytest.raises(ValueError, match="LSH config mismatch"):
+        other.ingest(b2, "b-3")
+
+    # a fresh (snapshot-less) index adopts whatever config arrives
+    fresh = NearDupIngestor(
+        ing.data.__class__(str(tmp_path / "other_corpus")),
+        ing.index.__class__(str(tmp_path / "other_index")),
+        num_hashes=8,
+        bands=4,
+        threshold=0.5,
+    )
+    fresh._check_index_compat(b2)
+    refit = NearDupIngestor(
+        fresh.data,
+        fresh.index,
+        num_hashes=16,
+        bands=8,
+        threshold=0.5,
+    )
+    assert refit.ingest(b2, "b-1")["accepted"] == 1
+
+
+def test_ingest_stream_rejects_conflicting_args(tmp_path):
+    """text_col/id_col/broadcast_hints configure the DEFAULT ingestor;
+    silently ignoring them next to an explicit ingestor would dedup on
+    the wrong column."""
+    from punt_spark.dataops.ingest import ingest_stream
+
+    ing = _neardup_ing(tmp_path)
+    with pytest.raises(ValueError, match="explicit ingestor"):
+        ingest_stream(
+            None,
+            "in",
+            ing.data,
+            ing.index,
+            "ck",
+            text_col="body",
+            ingestor=ing,
+        )
+
+
+def test_md5_minhash_signatures_pinned(spark):
+    """The exploded-aggregate formulation must produce exactly the
+    per-permutation min of md5('j' + US + shingle) — pinned against a
+    pure-Python replay so the shape can never drift from the DuckDB
+    oracle's formula."""
+    import hashlib
+
+    from punt_spark.dataops.dedup import md5_minhash_signatures
+
+    text = "one two three four five"
+    toks = text.split()
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    expected = [
+        min(
+            hashlib.md5(f"{j}\x1f{s}".encode()).hexdigest()
+            for s in shingles
+        )
+        for j in range(4)
+    ]
+    df = spark.createDataFrame(
+        [(1, text), (2, "too short")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r["sig"]
+        for r in md5_minhash_signatures(df).collect()
+    }
+    assert rows == {1: expected}  # doc 2 has no shingles → excluded
 
 
 def test_dedup_ingest_crash_between_data_and_index(spark, tmp_path):
