@@ -1102,6 +1102,94 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1) per document: word
+    count / mean word length / symbol ratio / alpha-word fraction /
+    required-stopword rules, each signal and flag emitted. Corpus-adapted
+    parameters (the synthetic vocabulary carries 'the' and 'a' as its only
+    stopwords; docs average ~50 words, so min_words=40 discriminates —
+    the canonical English defaults live on textstats.gopher_rules)."""
+    from punt_spark.dataops.textstats import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_rules(
+        d, min_words=40, stopwords=("the", "a")
+    ).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_frac",
+        "n_stop_types",
+        "words_ok",
+        "mean_word_len_ok",
+        "symbol_ok",
+        "alpha_ok",
+        "stop_ok",
+        "gopher_pass",
+    )
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Keep-BEST near-dup dedup (the production variant of keep-first:
+    CCNet keeps lowest perplexity, The Stack the highest-star member —
+    here the longest text, tie lowest id): MinHash-band components →
+    per-cluster argmax(length) winner report. Same conf scope as
+    q_dup_clusters (the CC loop is a small-graph composite)."""
+    from punt_spark.dataops.dedup import cluster_winners, dup_clusters
+
+    scoped = {
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
+        clusters = dup_clusters(pairs)
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", F.length("text").alias("sc")
+        )
+        res = (
+            cluster_winners(clusters, d, id_col="doc_id", score_col="sc")
+            .select(
+                "cluster_id",
+                F.col("keep_id").alias("keep_doc_id"),
+                "n_members",
+                F.col("best_score").alias("best_n_chars"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    return res
+
+
+def q_turn_boilerplate(spark, sf_dir):
+    """Turn-level boilerplate dedup audit — the transcript analog of
+    CCNet/C4 paragraph dedup: identical turn contents recur across
+    conversations (canned prompts/tool outputs; the events fixture has
+    10k rows over 100 distinct payloads), keep the FIRST occurrence in
+    stream order (ts, then event_id). One row per distinct content with
+    the kept id, copy count, and conversation spread."""
+    from punt_spark.dataops.transcripts import boilerplate_turn_stats
+
+    e = _t(spark, sf_dir, "events")
+    turns = e.select(
+        "event_id",
+        "ts",
+        F.col("user_id").alias("conv_id"),
+        F.col("props").alias("text"),
+    )
+    return boilerplate_turn_stats(turns, id_col="event_id").select(
+        "content_h", "keep_event_id", "n_copies", "n_convs"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
@@ -1170,6 +1258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_dedup_fold": q_ingest_dedup_fold,
         "ingest_neardup_fold": q_ingest_neardup_fold,
         "trim_repeated_spans": q_trim_repeated_spans,
+        "gopher_rules": q_gopher_rules,
+        "dedup_keep_best": q_dedup_keep_best,
+        "turn_boilerplate": q_turn_boilerplate,
     }
 
 
@@ -1224,6 +1315,39 @@ def _cosine_sql(a: str, b: str) -> str:
         f"{_DOT_SQL.format(a=a, b=b)} / "
         f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)}))"
     )
+
+
+# MinHash-band candidate pairs → connected components, ending in
+# ``clusters(doc_id, cluster_id)`` — shared by the dup_clusters and
+# dedup_keep_best oracles (one definition: a drift between them would
+# gate keep_best against a DIFFERENT component structure than Spark's).
+_CLUSTERS_CTES = f"""
+            WITH RECURSIVE {_SHINGLE_CTE.removeprefix("WITH ")},
+            sig AS (SELECT doc_id,
+                        min(md5('0' || shingle)) AS h0,
+                        min(md5('1' || shingle)) AS h1,
+                        min(md5('2' || shingle)) AS h2,
+                        min(md5('3' || shingle)) AS h3
+                    FROM sh GROUP BY doc_id),
+            bands AS (SELECT doc_id, md5(h0 || h1) AS b FROM sig
+                      UNION ALL
+                      SELECT doc_id, md5(h2 || h3) AS b FROM sig),
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e
+                  ON e.src = reach.id
+            ),
+            clusters AS (
+                SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+                FROM reach GROUP BY id
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1397,30 +1521,83 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
         """,
         "dup_clusters": f"""
-            WITH RECURSIVE {_SHINGLE_CTE.removeprefix("WITH ")},
-            sig AS (SELECT doc_id,
-                        min(md5('0' || shingle)) AS h0,
-                        min(md5('1' || shingle)) AS h1,
-                        min(md5('2' || shingle)) AS h2,
-                        min(md5('3' || shingle)) AS h3
-                    FROM sh GROUP BY doc_id),
-            bands AS (SELECT doc_id, md5(h0 || h1) AS b FROM sig
-                      UNION ALL
-                      SELECT doc_id, md5(h2 || h3) AS b FROM sig),
-            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                      FROM bands a JOIN bands b
-                        ON a.b = b.b AND a.doc_id < b.doc_id),
-            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                      UNION SELECT doc_b, doc_a FROM pairs),
-            nodes AS (SELECT DISTINCT src AS id FROM edges),
-            reach(id, r) AS (
-                SELECT id, id FROM nodes
-                UNION
-                SELECT e.dst, reach.r FROM reach JOIN edges e
-                  ON e.src = reach.id
-            )
-            SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-            FROM reach GROUP BY id
+            {_CLUSTERS_CTES}
+            SELECT doc_id, cluster_id FROM clusters
+        """,
+        "dedup_keep_best": f"""
+            {_CLUSTERS_CTES},
+            scored AS (SELECT c.cluster_id, c.doc_id, length(d.text) AS sc
+                       FROM clusters c JOIN documents d USING (doc_id)),
+            rk AS (SELECT cluster_id, doc_id, sc,
+                          row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY sc DESC, doc_id ASC)
+                          AS rn
+                   FROM scored),
+            sz AS (SELECT cluster_id, count(*) AS n_members
+                   FROM scored GROUP BY cluster_id)
+            SELECT rk.cluster_id, rk.doc_id AS keep_doc_id,
+                   sz.n_members, rk.sc AS best_n_chars
+            FROM rk JOIN sz USING (cluster_id) WHERE rk.rn = 1
+        """,
+        "gopher_rules": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(str_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS ws,
+                       length(regexp_replace(text, '\\s+', '', 'g'))
+                           AS nonws,
+                       len(regexp_extract_all(text, '(#|\\.\\.\\.)'))
+                           AS nsym
+                FROM documents),
+            s AS (
+                SELECT doc_id, len(ws) AS n_words,
+                       CASE WHEN len(ws) > 0 THEN
+                            round(CAST(nonws AS DOUBLE) / len(ws), 4)
+                            ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(ws) > 0 THEN
+                            round(CAST(nsym AS DOUBLE) / len(ws), 4)
+                            ELSE 0.0 END AS symbol_ratio,
+                       CASE WHEN len(ws) > 0 THEN
+                            round(CAST(len(list_filter(ws,
+                                x -> regexp_matches(x, '[A-Za-z]')))
+                                AS DOUBLE) / len(ws), 4)
+                            ELSE 0.0 END AS alpha_frac,
+                       len(list_filter(['the', 'a'],
+                           st -> list_contains(
+                               list_transform(ws, x -> lower(x)), st)))
+                           AS n_stop_types
+                FROM w)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_frac, n_stop_types,
+                   (n_words >= 40 AND n_words <= 100000) AS words_ok,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                       AS mean_word_len_ok,
+                   (symbol_ratio <= 0.1) AS symbol_ok,
+                   (alpha_frac >= 0.8) AS alpha_ok,
+                   (n_stop_types >= 2) AS stop_ok,
+                   (n_words >= 40 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+                    AND n_stop_types >= 2) AS gopher_pass
+            FROM s
+        """,
+        "turn_boilerplate": """
+            WITH h AS (
+                SELECT md5(coalesce(props, '')) AS content_h,
+                       event_id, ts, user_id
+                FROM events),
+            r AS (
+                SELECT content_h, event_id,
+                       row_number() OVER (PARTITION BY content_h
+                                          ORDER BY ts, event_id) AS rn
+                FROM h),
+            g AS (
+                SELECT content_h, count(*) AS n_copies,
+                       count(DISTINCT user_id) AS n_convs
+                FROM h GROUP BY content_h)
+            SELECT g.content_h, r.event_id AS keep_event_id,
+                   g.n_copies, g.n_convs
+            FROM g JOIN r ON r.content_h = g.content_h AND r.rn = 1
         """,
         "pii_redact": """
             WITH p AS (

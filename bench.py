@@ -90,6 +90,9 @@ OP_QUERIES = [
     "semantic_dedup",
     "dsir_select",
     "perplexity_buckets",
+    "gopher_rules",
+    "dedup_keep_best",
+    "turn_boilerplate",
 ]
 
 

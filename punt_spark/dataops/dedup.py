@@ -916,6 +916,79 @@ def minhash_dedup_keep(
     return df.join(drop, id_col, "left_anti")
 
 
+def cluster_winners(
+    clusters: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Argmax-score representative per duplicate component — the
+    "keep best, not first" selection production dedup pipelines use
+    (CCNet keeps the lowest-perplexity member, The Stack the
+    highest-star file, near-dup web pipelines often the longest text).
+    Tie-break: lowest id, so the choice is deterministic.
+
+    Input: ``clusters`` = (id, cluster_id) from :func:`dup_clusters`;
+    ``scored`` = any frame carrying (id_col, score_col) — only cluster
+    members are looked up. Output: one row per component with
+    (cluster_id, keep_id, n_members, best_score).
+
+    Shape at scale: ``clusters`` is O(duplicate docs) ≪ corpus, and the
+    score join is an inner join on id, so the corpus frame is pruned to
+    two columns and filtered by the join before any shuffle. The window
+    partitions by cluster_id — never global — and component sizes are
+    already bounded upstream by the LSH ``max_bucket`` guard.
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(
+        scored.select(
+            F.col(id_col).alias("id"), F.col(score_col).alias("__s")
+        ),
+        "id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__s").desc(), F.col("id").asc()
+    )
+    sizes = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("keep_id"),
+            F.col("__s").alias("best_score"),
+        )
+        .join(sizes, "cluster_id")
+        .select("cluster_id", "keep_id", "n_members", "best_score")
+    )
+
+
+def minhash_dedup_keep_best(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """:func:`minhash_dedup_keep` variant keeping the argmax-``score_col``
+    member of each component (tie: lowest id) instead of the min-id one.
+    Same transitive-closure semantics; singletons always survive."""
+    pairs = minhash_dedup(df, text_col, id_col, num_hashes, bands, threshold)
+    clusters = dup_clusters(pairs)
+    winners = cluster_winners(clusters, df, id_col, score_col)
+    drop = (
+        clusters.join(winners.select("cluster_id", "keep_id"), "cluster_id")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")
+
+
 # --- incremental dedup (continuous ingestion) -------------------------------------
 
 

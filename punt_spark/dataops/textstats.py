@@ -81,6 +81,128 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- Gopher document-quality rules -------------------------------------------------
+
+# Rae et al. 2021 ("Scaling Language Models: Methods, Analysis & Insights
+# from Training Gopher", §A1.1): the canonical required-stopword list — a
+# document must contain at least two DISTINCT words from it.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.80,
+    min_stop_types: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021 §A1.1): per-document signals,
+    one boolean per rule, and the conjunction ``gopher_pass``.
+
+    Rules (paper defaults in the keyword args): word count in
+    [min_words, max_words]; mean word length in [3, 10]; symbol-to-word
+    ratio (``#`` or ``...``) ≤ 0.1; ≥ 80% of words contain an alphabetic
+    character; ≥ 2 distinct required stopwords present. The line-level
+    rules (bullet/ellipsis line fractions) need line structure the
+    transcript-rendered corpus doesn't carry and are the caller's to add
+    over a ``split(text, '\\n')`` column when it does.
+
+    Shape at 100 TB: every signal is a per-row native expression (SQL-
+    string lambdas per the sibling-lambda constraint — see CLAUDE.md);
+    zero shuffles, survives any scale the scan survives. ``stopwords`` is
+    parameterizable because the rule is corpus-language-bound — the
+    Gopher list is English; a synthetic or non-English corpus supplies
+    its own.
+    """
+    from .transcripts import _sql_str_literal
+
+    words = f"filter(split(trim({text_col}), '\\\\s+'), w -> w != '')"
+    stop_arr = "array(" + ", ".join(
+        _sql_str_literal(s.lower()) for s in stopwords
+    ) + ")"
+    out = (
+        df.withColumn("__w", F.expr(words))
+        .withColumn("n_words", F.size("__w"))
+        .withColumn(
+            "__nonws",
+            F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast(
+                "double"
+            ),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0, F.col("__nonws") / F.col("n_words")
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "symbol_ratio",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.size(
+                        F.regexp_extract_all(
+                            F.col(text_col), F.lit(r"(#|\.\.\.)"), 0
+                        )
+                    ).cast("double")
+                    / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "alpha_frac",
+            F.round(
+                F.when(
+                    F.col("n_words") > 0,
+                    F.expr(
+                        "size(filter(__w, w -> w rlike '[A-Za-z]'))"
+                    ).cast("double")
+                    / F.col("n_words"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ),
+        )
+        .withColumn(
+            "n_stop_types",
+            F.expr(
+                f"size(filter({stop_arr},"
+                " s -> exists(__w, w -> lower(w) = s)))"
+            ),
+        )
+    )
+    words_ok = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    mwl_ok = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    symbol_ok = F.col("symbol_ratio") <= max_symbol_ratio
+    alpha_ok = F.col("alpha_frac") >= min_alpha_frac
+    stop_ok = F.col("n_stop_types") >= min_stop_types
+    return (
+        out.withColumn("words_ok", words_ok)
+        .withColumn("mean_word_len_ok", mwl_ok)
+        .withColumn("symbol_ok", symbol_ok)
+        .withColumn("alpha_ok", alpha_ok)
+        .withColumn("stop_ok", stop_ok)
+        .withColumn(
+            "gopher_pass",
+            words_ok & mwl_ok & symbol_ok & alpha_ok & stop_ok,
+        )
+        .drop("__w", "__nonws")
+    )
+
+
 # --- PII redaction ---------------------------------------------------------------
 
 # Conservative patterns valid in both Java regex (Spark) and RE2-style

@@ -150,3 +150,74 @@ def render_conversations(
         "n_turns",
         "roles",
     )
+
+
+def dedup_boilerplate_turns(
+    df: DataFrame,
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("ts",),
+    id_col: str = "turn_id",
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Corpus-wide TURN-level exact dedup — the transcript analog of
+    CCNet/C4 paragraph dedup: identical turn texts recur across
+    conversations (canned system prompts, templated tool outputs,
+    greeting boilerplate), and training pipelines keep the FIRST
+    occurrence in stream order, dropping later copies.
+
+    Keeps, per distinct text: the row that is first under
+    ``(order_cols..., id_col)`` (id is the deterministic tie-break —
+    stream timestamps collide). Returns the retained frame; pair with
+    :func:`boilerplate_turn_stats` for the audit report.
+
+    Shape at scale: one shuffle on the text hash (same key for the
+    window and nothing else), no global window, no self-join. Identical-
+    text skew (a system prompt repeated 10⁹ times) concentrates one hash
+    key — but the window only SORTS within the key to find rank 1, and
+    AQE's skew split handles the sort spill; the alternative
+    min(struct(...)) aggregate is fully map-side combinable, which is why
+    the filter path below uses it rather than the window.
+    """
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    first = F.struct(
+        *[F.col(c) for c in order_cols], F.col(id_col)
+    )
+    keep = (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(first).alias("__first"))
+        .select(F.col(f"__first.{id_col}").alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def boilerplate_turn_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    order_cols: tuple[str, ...] = ("ts",),
+    id_col: str = "turn_id",
+    conv_col: str = "conv_id",
+) -> DataFrame:
+    """Audit report for :func:`dedup_boilerplate_turns`: one row per
+    distinct turn text with (content_h, keep id, copy count, distinct
+    conversations touched). Same single-shuffle shape — the stats ride
+    the same groupBy key as the dedup itself."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
+    first = F.struct(
+        *[F.col(c) for c in order_cols], F.col(id_col)
+    )
+    return (
+        df.withColumn("__h", h)
+        .groupBy(F.col("__h").alias("content_h"))
+        .agg(
+            F.min(first).alias("__first"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct(F.col(conv_col)).alias("n_convs"),
+        )
+        .select(
+            "content_h",
+            F.col(f"__first.{id_col}").alias(f"keep_{id_col}"),
+            "n_copies",
+            "n_convs",
+        )
+    )

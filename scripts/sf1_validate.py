@@ -56,6 +56,9 @@ QUERIES = [
     "dsir_select",
     "perplexity_buckets",
     "semantic_dedup_scaled",
+    "gopher_rules",
+    "dedup_keep_best",
+    "turn_boilerplate",
 ]
 
 

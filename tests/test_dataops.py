@@ -2395,3 +2395,127 @@ def test_pack_sequences_tied_ids_do_not_overlap(spark):
     for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
         assert e1 <= s2, f"overlapping packed spans {spans}"
     assert spans[-1][1] == 5 + 7 + 3  # offsets partition the full stream
+
+
+def test_gopher_rules_signals_and_pass(spark):
+    from punt_spark.dataops.textstats import gopher_rules
+
+    rows = [
+        # passes all (with min_words=5): 8 words, has 'the' and 'and'
+        (0, "the cat and dog walked over green hills"),
+        # too few words
+        (1, "the and"),
+        # no required stopwords
+        (2, "cats dogs walk over green hills very quickly"),
+        # symbol-heavy: 3 symbols / 8 words > 0.1
+        (3, "the cat # and dog ... walked # quickly"),
+        # alpha fraction low: 5 of 8 words numeric
+        (4, "the 12 34 56 and 78 90 cat"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(df, min_words=5, max_words=100).collect()
+    }
+    assert got[0]["n_words"] == 8
+    assert got[0]["n_stop_types"] == 2  # the, and
+    assert got[0]["alpha_frac"] == 1.0
+    assert got[0]["gopher_pass"]
+    assert not got[1]["words_ok"] and not got[1]["gopher_pass"]
+    assert got[2]["n_stop_types"] == 0 and not got[2]["stop_ok"]
+    # doc 3: symbols '#','...','#' = 3 over 9 whitespace words (symbol
+    # tokens ARE words under the whitespace split) = 0.3333
+    assert got[3]["symbol_ratio"] == pytest.approx(round(3 / 9, 4))
+    assert not got[3]["symbol_ok"]
+    assert got[4]["alpha_frac"] == pytest.approx(round(3 / 8, 4))
+    assert not got[4]["alpha_ok"]
+    # empty text: zero words, all ratios 0, fails word rule, no crash
+    assert got[5]["n_words"] == 0 and not got[5]["gopher_pass"]
+    # canonical defaults exposed: Gopher's published stopword list
+    from punt_spark.dataops.textstats import GOPHER_STOPWORDS
+
+    assert "that" in GOPHER_STOPWORDS and len(GOPHER_STOPWORDS) == 8
+
+
+def test_cluster_winners_and_keep_best(spark):
+    from punt_spark.dataops.dedup import (
+        cluster_winners,
+        dup_clusters,
+        minhash_dedup_keep_best,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (20, 21)], "id_a long, id_b long"
+    )
+    clusters = dup_clusters(pairs)
+    scored = spark.createDataFrame(
+        # cluster {10,11,12}: 11 has the top score; cluster {20,21}: tie
+        # score -> min id (20) must win deterministically
+        [(10, 5.0), (11, 9.0), (12, 7.0), (20, 3.0), (21, 3.0)],
+        "doc_id long, s double",
+    )
+    got = {
+        r["cluster_id"]: r.asDict()
+        for r in cluster_winners(clusters, scored, score_col="s").collect()
+    }
+    assert got[10]["keep_id"] == 11 and got[10]["n_members"] == 3
+    assert got[10]["best_score"] == 9.0
+    assert got[20]["keep_id"] == 20 and got[20]["n_members"] == 2
+
+    # end-to-end: near-dup chain keeps the LONGEST member, not the min id;
+    # the unrelated singleton always survives
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa xx"),
+        (2, "totally unrelated words that share nothing with the others"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    kept = {
+        r["doc_id"]
+        for r in minhash_dedup_keep_best(
+            docs, score_col="n_chars", threshold=0.5
+        ).collect()
+    }
+    assert kept == {1, 2}
+
+
+def test_dedup_boilerplate_turns(spark):
+    import datetime as dt
+
+    from punt_spark.dataops.transcripts import (
+        boilerplate_turn_stats,
+        dedup_boilerplate_turns,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        # 'hello' appears in three convs; the EARLIEST ts is turn 7 (not
+        # the min id) — stream order wins over id order
+        (7, t0 + 0 * s, "c1", "hello"),
+        (3, t0 + 5 * s, "c2", "hello"),
+        (9, t0 + 9 * s, "c3", "hello"),
+        # tied ts: min id (4) is the deterministic tie-break
+        (8, t0 + 2 * s, "c1", "run tool"),
+        (4, t0 + 2 * s, "c2", "run tool"),
+        # unique text survives untouched
+        (5, t0 + 3 * s, "c1", "unique answer"),
+    ]
+    df = spark.createDataFrame(
+        rows, "turn_id long, ts timestamp, conv_id string, text string"
+    )
+    kept = {
+        r["turn_id"] for r in dedup_boilerplate_turns(df).collect()
+    }
+    assert kept == {7, 4, 5}
+
+    stats = {
+        r["keep_turn_id"]: r.asDict()
+        for r in boilerplate_turn_stats(df).collect()
+    }
+    assert stats[7]["n_copies"] == 3 and stats[7]["n_convs"] == 3
+    assert stats[4]["n_copies"] == 2 and stats[4]["n_convs"] == 2
+    assert stats[5]["n_copies"] == 1
