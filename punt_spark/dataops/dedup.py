@@ -929,8 +929,10 @@ def cluster_winners(
     Tie-break: lowest id, so the choice is deterministic.
 
     Input: ``clusters`` = (id, cluster_id) from :func:`dup_clusters`;
-    ``scored`` = any frame carrying (id_col, score_col) — only cluster
-    members are looked up. Output: one row per component with
+    ``scored`` = any frame carrying (id_col, score_col), UNIQUE on
+    id_col (same precondition as cap_rank — a duplicate id would fan
+    out the join and inflate n_members) — only cluster members are
+    looked up. Output: one row per component with
     (cluster_id, keep_id, n_members, best_score).
 
     Shape at scale: ``clusters`` is O(duplicate docs) ≪ corpus, and the

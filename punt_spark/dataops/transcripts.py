@@ -157,7 +157,6 @@ def dedup_boilerplate_turns(
     text_col: str = "text",
     order_cols: tuple[str, ...] = ("ts",),
     id_col: str = "turn_id",
-    conv_col: str = "conv_id",
 ) -> DataFrame:
     """Corpus-wide TURN-level exact dedup — the transcript analog of
     CCNet/C4 paragraph dedup: identical turn texts recur across
