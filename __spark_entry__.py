@@ -1190,6 +1190,36 @@ def q_turn_boilerplate(spark, sf_dir):
     )
 
 
+def q_contamination_score(spark, sf_dir):
+    """Scored decontamination (GPT-3 appendix-C dirtiness measurement):
+    per-corpus-doc distinct 5-gram count, benchmark-overlapping count,
+    and overlap fraction — same benchmark split as q_decontaminate
+    (doc_id % 20 == 0 plays the held-out set), whose drop rule is this
+    frame's frac > 0 threshold. Total over the corpus: shingle-less
+    docs report 0 / 0.0."""
+    from punt_spark.dataops.dedup import contamination_scores
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return contamination_scores(corpus, bench, shingle_n=5).select(
+        "doc_id", "n_shingles", "n_contaminated", "contamination_frac"
+    )
+
+
+def q_dup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix (the C4/RefinedWeb inter-domain
+    duplication analysis): MinHash-band candidate pairs joined to each
+    side's source, counted per unordered source pair."""
+    from punt_spark.dataops.dedup import dup_source_matrix
+
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    d = _t(spark, sf_dir, "documents")
+    return dup_source_matrix(pairs, d)
+
+
 # ---------------------------------------------------------------------------
 # driver hooks
 # ---------------------------------------------------------------------------
@@ -1261,6 +1291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "dedup_keep_best": q_dedup_keep_best,
         "turn_boilerplate": q_turn_boilerplate,
+        "contamination_score": q_contamination_score,
+        "dup_source_matrix": q_dup_source_matrix,
     }
 
 
@@ -1317,11 +1349,10 @@ def _cosine_sql(a: str, b: str) -> str:
     )
 
 
-# MinHash-band candidate pairs → connected components, ending in
-# ``clusters(doc_id, cluster_id)`` — shared by the dup_clusters and
-# dedup_keep_best oracles (one definition: a drift between them would
-# gate keep_best against a DIFFERENT component structure than Spark's).
-_CLUSTERS_CTES = f"""
+# MinHash-band candidate pairs, ending in ``pairs(doc_a, doc_b)`` —
+# the LSH edge set shared by the dup_clusters / dedup_keep_best /
+# dup_source_matrix oracles (one definition, zero drift).
+_PAIRS_CTES = f"""
             WITH RECURSIVE {_SHINGLE_CTE.removeprefix("WITH ")},
             sig AS (SELECT doc_id,
                         min(md5('0' || shingle)) AS h0,
@@ -1334,7 +1365,13 @@ _CLUSTERS_CTES = f"""
                       SELECT doc_id, md5(h2 || h3) AS b FROM sig),
             pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                       FROM bands a JOIN bands b
-                        ON a.b = b.b AND a.doc_id < b.doc_id),
+                        ON a.b = b.b AND a.doc_id < b.doc_id)"""
+
+# ... → connected components, ending in ``clusters(doc_id, cluster_id)``
+# — shared by the dup_clusters and dedup_keep_best oracles (one
+# definition: a drift between them would gate keep_best against a
+# DIFFERENT component structure than Spark's).
+_CLUSTERS_CTES = f"""{_PAIRS_CTES},
             edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                       UNION SELECT doc_b, doc_a FROM pairs),
             nodes AS (SELECT DISTINCT src AS id FROM edges),
@@ -1580,6 +1617,47 @@ def oracle_sql() -> dict[str, str]:
                     AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
                     AND n_stop_types >= 2) AS gopher_pass
             FROM s
+        """,
+        "contamination_score": """
+            WITH w5 AS (SELECT doc_id,
+                               string_split_regex(lower(trim(text)), '\\s+')
+                               AS ws
+                        FROM documents),
+            sh5 AS (SELECT doc_id,
+                           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                           || ws[i+3] || ' ' || ws[i+4] AS shingle
+                    FROM w5, UNNEST(range(1, greatest(len(ws) - 3, 1)))
+                         AS t(i)
+                    WHERE len(ws) >= 5),
+            bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 20 = 0),
+            ds AS (SELECT DISTINCT doc_id, shingle FROM sh5
+                   WHERE doc_id % 20 <> 0),
+            cnt AS (SELECT ds.doc_id, count(*) AS n_shingles,
+                           CAST(sum(CASE WHEN b.shingle IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_contaminated
+                    FROM ds LEFT JOIN bench b ON ds.shingle = b.shingle
+                    GROUP BY ds.doc_id)
+            SELECT d.doc_id,
+                   coalesce(c.n_shingles, 0) AS n_shingles,
+                   coalesce(c.n_contaminated, 0) AS n_contaminated,
+                   CASE WHEN coalesce(c.n_shingles, 0) > 0
+                        THEN round(CAST(c.n_contaminated AS DOUBLE)
+                                   / c.n_shingles, 4)
+                        ELSE 0.0 END AS contamination_frac
+            FROM documents d LEFT JOIN cnt c USING (doc_id)
+            WHERE d.doc_id % 20 <> 0
+        """,
+        "dup_source_matrix": f"""
+            {_PAIRS_CTES},
+            src AS (SELECT doc_id, source FROM documents)
+            SELECT least(a.source, b.source) AS source_a,
+                   greatest(a.source, b.source) AS source_b,
+                   count(*) AS n_pairs
+            FROM pairs p
+            JOIN src a ON p.doc_a = a.doc_id
+            JOIN src b ON p.doc_b = b.doc_id
+            GROUP BY 1, 2
         """,
         "turn_boilerplate": """
             WITH h AS (

@@ -93,6 +93,8 @@ OP_QUERIES = [
     "gopher_rules",
     "dedup_keep_best",
     "turn_boilerplate",
+    "contamination_score",
+    "dup_source_matrix",
 ]
 
 

@@ -532,6 +532,92 @@ def contaminated_ids(
     )
 
 
+def contamination_scores(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Per-document contamination REPORT — the scored companion to
+    :func:`decontaminate` (the GPT-3 appendix-C "dirtiness" measurement:
+    how much of each doc overlaps the eval set, not just whether): for
+    every corpus doc its distinct n-gram count, how many of those appear
+    in the benchmark, and the overlap fraction. ``decontaminate``'s
+    drop rule is the frac > 0 threshold; partial-overlap policies (C4
+    drops at any overlap, some pipelines only above a fraction)
+    threshold this frame instead.
+
+    Shape at scale: identical to contaminated_ids — benchmark shingles
+    broadcast, corpus shingles explode map-side; the one shuffle is the
+    per-doc re-agg on id. Docs too short to shingle survive with
+    n_shingles = 0 / frac 0.0 (explode_outer), so the report is total
+    over the corpus.
+    """
+    bench_shingles = (
+        with_shingles(benchmark, text_col, shingle_n)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_shingles = with_shingles(df, text_col, shingle_n).select(
+        F.col(id_col),
+        F.explode_outer(F.array_distinct("shingles")).alias("s"),
+    )
+    agg = (
+        doc_shingles.join(F.broadcast(bench_shingles), "s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("s").alias("n_shingles"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_contaminated"),
+        )
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 4),
+    ).otherwise(F.lit(0.0))
+    return agg.withColumn("contamination_frac", frac)
+
+
+def dup_source_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix — which sources duplicate which
+    (the inter-domain duplication analysis the C4/RefinedWeb papers run
+    before choosing dedup scope): near-dup pairs joined to each side's
+    source, counted per UNORDERED source pair (sides least/greatest-
+    sorted so (a,b) and (b,a) accumulate one cell; the diagonal is
+    within-source duplication).
+
+    Shape at scale: ``pairs`` is O(duplicates) ≪ corpus and joins the
+    docs frame pruned to (id, source) — AQE broadcasts the pair side;
+    the matrix agg output is |sources|² at most.
+    """
+    s = docs.select(F.col(id_col), F.col(source_col))
+    j = pairs.join(
+        s.select(
+            F.col(id_col).alias("id_a"), F.col(source_col).alias("__sa")
+        ),
+        "id_a",
+    ).join(
+        s.select(
+            F.col(id_col).alias("id_b"), F.col(source_col).alias("__sb")
+        ),
+        "id_b",
+    )
+    return (
+        j.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 # --- SimHash -------------------------------------------------------------------
 
 

@@ -199,8 +199,12 @@ def boilerplate_turn_stats(
 ) -> DataFrame:
     """Audit report for :func:`dedup_boilerplate_turns`: one row per
     distinct turn text with (content_h, keep id, copy count, distinct
-    conversations touched). Same single-shuffle shape — the stats ride
-    the same groupBy key as the dedup itself."""
+    conversations touched). The stats ride the same groupBy key as the
+    dedup itself; the exact ``countDistinct(conv_col)`` plans the
+    standard two-phase distinct expand (a (hash, conv) pre-shuffle
+    before the hash-key agg — verified in the formatted plan), the
+    price of an exact audit; swap in approx_count_distinct when the
+    report feeds monitoring rather than an oracle gate."""
     h = F.md5(F.coalesce(F.col(text_col), F.lit("")).cast("binary"))
     first = F.struct(
         *[F.col(c) for c in order_cols], F.col(id_col)

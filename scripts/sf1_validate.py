@@ -59,6 +59,8 @@ QUERIES = [
     "gopher_rules",
     "dedup_keep_best",
     "turn_boilerplate",
+    "contamination_score",
+    "dup_source_matrix",
 ]
 
 

@@ -2519,3 +2519,58 @@ def test_dedup_boilerplate_turns(spark):
     assert stats[7]["n_copies"] == 3 and stats[7]["n_convs"] == 3
     assert stats[4]["n_copies"] == 2 and stats[4]["n_convs"] == 2
     assert stats[5]["n_copies"] == 1
+
+
+def test_contamination_scores(spark):
+    from punt_spark.dataops.dedup import contamination_scores
+
+    corpus = spark.createDataFrame(
+        [
+            # 6 words -> 2 distinct 5-grams, one of them in the benchmark
+            (0, "alpha beta gamma delta epsilon zeta"),
+            # fully clean
+            (1, "one two three four five six"),
+            # too short to shingle: survives with 0 / 0.0
+            (2, "tiny doc"),
+            # exact benchmark copy: frac 1.0
+            (3, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in contamination_scores(corpus, bench).collect()
+    }
+    assert len(got) == 4  # total over the corpus, short doc included
+    assert got[0]["n_shingles"] == 2 and got[0]["n_contaminated"] == 1
+    assert got[0]["contamination_frac"] == pytest.approx(0.5)
+    assert got[1]["n_contaminated"] == 0
+    assert got[1]["contamination_frac"] == 0.0
+    assert got[2]["n_shingles"] == 0 and got[2]["contamination_frac"] == 0.0
+    assert got[3]["contamination_frac"] == 1.0
+
+
+def test_dup_source_matrix(spark):
+    from punt_spark.dataops.dedup import dup_source_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "books"), (5, "code")],
+        "doc_id long, source string",
+    )
+    # (1,3) and (4,2) are the SAME unordered (books, web) cell; (1,2) is
+    # the within-source diagonal
+    pairs = spark.createDataFrame(
+        [(1, 3), (4, 2), (1, 2), (3, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dup_source_matrix(pairs, docs).collect()
+    }
+    assert got == {
+        ("books", "web"): 2,
+        ("web", "web"): 1,
+        ("books", "code"): 1,
+    }
