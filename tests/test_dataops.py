@@ -2574,3 +2574,75 @@ def test_dup_source_matrix(spark):
         ("web", "web"): 1,
         ("books", "code"): 1,
     }
+
+
+def test_gopher_rules_property(spark):
+    """Property: gopher_rules' signals equal a pure-Python twin on
+    arbitrary ASCII corpora (ASCII by contract — same Java-vs-Python \\s
+    note as test_simhash16_property), and gopher_pass is exactly the
+    conjunction of the rule flags."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from punt_spark.dataops.textstats import gopher_rules
+
+    def r4(x):
+        # Spark round(): BigDecimal HALF_UP over the double's shortest
+        # decimal repr — mirror exactly, not with banker's round()
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    stop = ("the", "a")
+
+    def py_gopher(t):
+        ws = [w for w in re.split(r"\s+", t.strip()) if w != ""]
+        n = len(ws)
+        nonws = len(re.sub(r"\s+", "", t))
+        nsym = len(re.findall(r"(#|\.\.\.)", t))
+        nalpha = sum(1 for w in ws if re.search("[A-Za-z]", w))
+        low = {w.lower() for w in ws}
+        nstop = sum(1 for s in stop if s in low)
+        return {
+            "n_words": n,
+            "mean_word_len": r4(nonws / n) if n else 0.0,
+            "symbol_ratio": r4(nsym / n) if n else 0.0,
+            "alpha_frac": r4(nalpha / n) if n else 0.0,
+            "n_stop_types": nstop,
+        }
+
+    ascii_text = st.text(
+        alphabet=st.sampled_from(
+            list("abcdefghijk the a ... # 0123456789 .,!-")
+        ),
+        min_size=0,
+        max_size=80,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ascii_text, min_size=1, max_size=6))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: r.asDict()
+            for r in gopher_rules(
+                df, min_words=3, max_words=20, stopwords=stop
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            exp = py_gopher(t)
+            got = rows[i]
+            for k, v in exp.items():
+                assert got[k] == v, (k, repr(t), got[k], v)
+            flags = [
+                got["words_ok"], got["mean_word_len_ok"], got["symbol_ok"],
+                got["alpha_ok"], got["stop_ok"],
+            ]
+            assert got["gopher_pass"] == all(flags), repr(t)
+
+    check()
