@@ -78,9 +78,25 @@ class _CommitProtocolIngestor:
     crash analysis holds for any subclass whose accepted set is a
     deterministic function of (batch, index-without-this-batch)."""
 
-    def __init__(self, data_table: SnapshotTable, index_table: SnapshotTable):
+    def __init__(
+        self,
+        data_table: SnapshotTable,
+        index_table: SnapshotTable,
+        admission_filter=None,
+    ):
         self.data = data_table
         self.index = index_table
+        # Optional filter-at-ingest (DataFrame -> DataFrame, same schema):
+        # quality/language/PII gating applied to each batch BEFORE dedup
+        # planning — the production shape where curation runs at the door
+        # rather than as a later corpus-wide pass. Rejected docs are NOT
+        # indexed: the index stays an index of the ACCEPTED corpus, and a
+        # later duplicate of a rejected doc is re-evaluated on its own
+        # text (the same deterministic filter rejects it again), so the
+        # crash analysis is unchanged — the accepted set remains a
+        # deterministic function of (admitted batch, index-without-this-
+        # batch).
+        self.admission_filter = admission_filter
 
     def _plan(self, batch: DataFrame, hist: DataFrame):
         raise NotImplementedError
@@ -103,6 +119,17 @@ class _CommitProtocolIngestor:
             # done marker present → both commits landed in a prior attempt
             return {"batch_id": batch_id, "accepted": None, "skipped": True}
         self._check_index_compat(batch)
+        if self.admission_filter is not None:
+            cols = batch.columns
+            batch = self.admission_filter(batch)
+            if batch.columns != cols:
+                # a filter that reshapes the frame would silently change
+                # the data table's schema mid-stream; enrichment belongs
+                # upstream, admission only decides membership
+                raise ValueError(
+                    "admission_filter must preserve the batch schema: "
+                    f"{cols} -> {batch.columns}"
+                )
         hist = self.index.read(spark)
         if hist is None:
             hist = self._empty_history(spark, batch)
@@ -141,8 +168,9 @@ class DedupIngestor(_CommitProtocolIngestor):
         text_col: str = "text",
         id_col: str = "doc_id",
         broadcast_hints: bool = True,
+        admission_filter=None,
     ):
-        super().__init__(data_table, index_table)
+        super().__init__(data_table, index_table, admission_filter)
         self.text_col = text_col
         self.id_col = id_col
         # True presumes BOUNDED micro-batches (the ingest_stream default
@@ -237,6 +265,7 @@ class NearDupIngestor(_CommitProtocolIngestor):
         round_dp: int = 4,
         max_band_fanout: int = 1000,
         broadcast_hints: bool = True,
+        admission_filter=None,
     ):
         if num_hashes % bands:
             raise ValueError(
@@ -244,7 +273,7 @@ class NearDupIngestor(_CommitProtocolIngestor):
             )
         if sig_mode not in ("xxhash", "md5"):
             raise ValueError(f"unknown sig_mode {sig_mode!r}")
-        super().__init__(data_table, index_table)
+        super().__init__(data_table, index_table, admission_filter)
         self.text_col = text_col
         self.id_col = id_col
         self.num_hashes = num_hashes
@@ -443,6 +472,7 @@ def ingest_stream(
     id_col: str | None = None,
     max_files_per_trigger: int | None = 64,
     broadcast_hints: bool | None = None,
+    admission_filter=None,
     ingestor=None,
 ):
     """The continuous-ingestion daemon shape: ``readStream`` over a
@@ -473,10 +503,14 @@ def ingest_stream(
     the daemon with MinHash near-dup semantics instead of exact
     fingerprints — the checkpoint/done-marker/exactly-once layering is
     identical because both ingestors share the commit protocol.
-    ``text_col``/``id_col``/``broadcast_hints`` configure the DEFAULT
-    :class:`DedupIngestor` only; combining them with an explicit
-    ``ingestor`` is rejected (the ingestor already carries its own —
-    silently deduping on the wrong column is the failure mode)."""
+    ``admission_filter`` (same-schema DataFrame→DataFrame) runs
+    quality/language/PII gating at the door of every micro-batch before
+    dedup — see :class:`_CommitProtocolIngestor`.
+    ``text_col``/``id_col``/``broadcast_hints``/``admission_filter``
+    configure the DEFAULT :class:`DedupIngestor` only; combining them
+    with an explicit ``ingestor`` is rejected (the ingestor already
+    carries its own — silently deduping on the wrong column is the
+    failure mode)."""
     if ingestor is None:
         ingestor = DedupIngestor(
             data_table,
@@ -484,12 +518,16 @@ def ingest_stream(
             "text" if text_col is None else text_col,
             "doc_id" if id_col is None else id_col,
             broadcast_hints=True if broadcast_hints is None else broadcast_hints,
+            admission_filter=admission_filter,
         )
-    elif any(v is not None for v in (text_col, id_col, broadcast_hints)):
+    elif any(
+        v is not None
+        for v in (text_col, id_col, broadcast_hints, admission_filter)
+    ):
         raise ValueError(
-            "text_col/id_col/broadcast_hints configure the default"
-            " DedupIngestor; with an explicit ingestor, set them on the"
-            " ingestor itself"
+            "text_col/id_col/broadcast_hints/admission_filter configure"
+            " the default DedupIngestor; with an explicit ingestor, set"
+            " them on the ingestor itself"
         )
 
     def _batch(df: DataFrame, batch_id: int):

@@ -2646,3 +2646,60 @@ def test_gopher_rules_property(spark):
             assert got["gopher_pass"] == all(flags), repr(t)
 
     check()
+
+
+def test_ingest_admission_filter(spark, tmp_path):
+    """Filter-at-ingest: quality gating runs at the door of each batch,
+    rejected docs are neither committed nor indexed (a later duplicate
+    of a rejected doc is re-judged on its own text, and a later
+    duplicate of an ACCEPTED doc is still deduped), and a filter that
+    reshapes the schema is a hard error."""
+    from punt_spark.dataops.ingest import DedupIngestor, ingest_stream
+    from punt_spark.sink import SnapshotTable
+
+    ing = DedupIngestor(
+        SnapshotTable(str(tmp_path / "corpus")),
+        SnapshotTable(str(tmp_path / "fp_index")),
+        admission_filter=lambda df: df.filter(F.length("text") >= 10),
+    )
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "tiny"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    r1 = ing.ingest(b1, "b-001")
+    assert r1["accepted"] == 1  # doc 2 rejected, doc 3 deduped vs 1
+    # duplicate of the REJECTED doc: not in the index, so it reaches the
+    # filter — and is rejected on its own text, not via dedup
+    b2 = spark.createDataFrame(
+        [(10, "tiny"), (11, "alpha beta gamma"), (12, "delta epsilon zz")],
+        "doc_id long, text string",
+    )
+    r2 = ing.ingest(b2, "b-002")
+    assert r2["accepted"] == 1  # 10 rejected, 11 deduped, 12 accepted
+    corpus = {
+        r["doc_id"] for r in ing.data.read(spark).select("doc_id").collect()
+    }
+    assert corpus == {1, 12}
+    # index holds exactly the accepted corpus's fingerprints
+    assert ing.index.read(spark).count() == 2
+
+    bad = DedupIngestor(
+        SnapshotTable(str(tmp_path / "c2")),
+        SnapshotTable(str(tmp_path / "i2")),
+        admission_filter=lambda df: df.drop("text"),
+    )
+    with pytest.raises(ValueError, match="preserve the batch schema"):
+        bad.ingest(b1, "b-001")
+
+    # ingest_stream: admission_filter configures the DEFAULT ingestor
+    # only — combining it with an explicit ingestor is rejected
+    with pytest.raises(ValueError, match="admission_filter"):
+        ingest_stream(
+            spark,
+            str(tmp_path / "in"),
+            ing.data,
+            ing.index,
+            str(tmp_path / "ckpt"),
+            admission_filter=lambda df: df,
+            ingestor=ing,
+        )
