@@ -1207,6 +1207,31 @@ def q_contamination_score(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher Table A1 repetition signals: top-{2,3,4}-gram char
+    fractions (paper thresholds) plus duplicate-n-gram char coverage at
+    corpus-adapted n=(2,3) with thresholds (0.5, 0.3) — the paper's
+    n=5..10 are defined for web documents; this corpus's ~50-token docs
+    never repeat a 5-gram internally (all-zero column), while dup-2/3
+    discriminate (349 and 27 of 500 docs non-zero at sf0.01). Library
+    defaults keep the published parameterization."""
+    from punt_spark.dataops.textstats import gopher_repetition
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_repetition(
+        d, top_ns=(2, 3, 4), dup_ns=(2, 3),
+        dup_thresholds={2: 0.5, 3: 0.3},
+    ).select(
+        "doc_id",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        "dup_2gram_char_frac",
+        "dup_3gram_char_frac",
+        "repetition_pass",
+    )
+
+
 def q_dup_source_matrix(spark, sf_dir):
     """Cross-source duplication matrix (the C4/RefinedWeb inter-domain
     duplication analysis): MinHash-band candidate pairs joined to each
@@ -1293,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_boilerplate": q_turn_boilerplate,
         "contamination_score": q_contamination_score,
         "dup_source_matrix": q_dup_source_matrix,
+        "gopher_repetition": q_gopher_repetition,
     }
 
 
@@ -1340,6 +1366,76 @@ def _simhash16_cte() -> str:
         ), sv AS (
             SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM v
         )"""
+
+
+def _gopher_rep_sql() -> str:
+    """DuckDB replay of textstats.gopher_repetition with q_gopher_
+    repetition's parameterization: per-n gram lists, within-row counts
+    via nested list lambdas, the count·10⁶+len top code, and the
+    position-union duplicate coverage — every construct mirrors the
+    Spark SQL-lambda twin 1:1 (slice semantics differ: Spark slice is
+    (start, LENGTH), DuckDB list_slice is inclusive (lo, hi))."""
+    top = {2: 0.20, 3: 0.18, 4: 0.16}
+    dup = {2: 0.5, 3: 0.3}
+    gram_cols = ",\n".join(
+        f"CASE WHEN len(rt) >= {n} THEN"
+        f" list_transform(range(1, len(rt) - {n} + 2),"
+        f" i -> array_to_string(list_slice(rt, i, i + {n - 1}), ' '))"
+        f" ELSE [] END AS g{n}"
+        for n in sorted(set(top) | set(dup))
+    )
+    code_cols = ",\n".join(
+        f"list_max(list_transform(g{n}, x ->"
+        f" len(list_filter(g{n}, h -> h = x)) * 1000000 + length(x)))"
+        f" AS c{n}"
+        for n in top
+    )
+    flag_cols = ",\n".join(
+        f"list_transform(g{n}, x -> CASE WHEN"
+        f" len(list_filter(g{n}, h -> h = x)) >= 2 THEN 1 ELSE 0 END)"
+        f" AS f{n}"
+        for n in dup
+    )
+    top_fracs = ",\n".join(
+        f"CASE WHEN len(g{n}) > 0 AND rtotal > 0 THEN"
+        f" round(CAST((c{n} // 1000000)"
+        f" * (c{n} % 1000000 - {n - 1}) AS DOUBLE) / rtotal, 4)"
+        f" ELSE 0.0 END AS top_{n}gram_char_frac"
+        for n in top
+    )
+    dup_fracs = ",\n".join(
+        f"CASE WHEN len(g{n}) > 0 AND rtotal > 0 THEN"
+        f" round(CAST(list_sum(list_transform(range(1, len(rt) + 1),"
+        f" j -> CASE WHEN list_sum(list_slice(f{n},"
+        f" greatest(1, j - {n - 1}), least(j, len(f{n})))) > 0"
+        f" THEN rl[j] ELSE 0 END)) AS DOUBLE) / rtotal, 4)"
+        f" ELSE 0.0 END AS dup_{n}gram_char_frac"
+        for n in dup
+    )
+    gate = " AND ".join(
+        [f"top_{n}gram_char_frac <= {t}" for n, t in top.items()]
+        + [f"dup_{n}gram_char_frac <= {t}" for n, t in dup.items()]
+    )
+    return f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_slice(list_filter(
+                           str_split_regex(lower(trim(text)), '\\s+'),
+                           x -> x <> ''), 1, 2048) AS rt
+                FROM documents),
+            b AS (
+                SELECT doc_id, rt,
+                       list_transform(rt, x -> length(x)) AS rl,
+                       list_sum(list_transform(rt, x -> length(x)))
+                           AS rtotal,
+                       {gram_cols}
+                FROM t),
+            c AS (
+                SELECT *, {code_cols}, {flag_cols} FROM b),
+            s AS (
+                SELECT doc_id, {top_fracs}, {dup_fracs} FROM c)
+            SELECT *, ({gate}) AS repetition_pass FROM s
+    """
 
 
 def _cosine_sql(a: str, b: str) -> str:
@@ -1618,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
                     AND n_stop_types >= 2) AS gopher_pass
             FROM s
         """,
+        "gopher_repetition": _gopher_rep_sql(),
         "contamination_score": """
             WITH w5 AS (SELECT doc_id,
                                string_split_regex(lower(trim(text)), '\\s+')

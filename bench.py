@@ -95,6 +95,7 @@ OP_QUERIES = [
     "turn_boilerplate",
     "contamination_score",
     "dup_source_matrix",
+    "gopher_repetition",
 ]
 
 

@@ -203,6 +203,129 @@ def gopher_rules(
     )
 
 
+# Gopher Table A1 repetition thresholds (Rae et al. 2021): a document
+# fails if the top n-gram covers too much of it, or too much of it sits
+# inside n-grams that occur more than once.
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    top_thresholds: dict[int, float] | None = None,
+    dup_thresholds: dict[int, float] | None = None,
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 Table A1), token-char
+    basis: for each n in ``top_ns``, ``top_{n}gram_char_frac`` = (top
+    n-gram's occurrence count × its token chars) / total token chars
+    (ties on count break to the longest gram — deterministic in both
+    engines via a count·10⁶+len integer code); for each n in ``dup_ns``,
+    ``dup_{n}gram_char_frac`` = chars of token POSITIONS covered by at
+    least one n-gram occurring ≥2 times in the doc (a position union,
+    not a per-occurrence sum — overlapping duplicates aren't double-
+    counted) / total token chars. ``repetition_pass`` is the conjunction
+    of every signal ≤ its paper threshold. The paper's line/paragraph
+    duplicate rules need line structure this corpus doesn't carry (same
+    scope note as gopher_rules).
+
+    Shape at 100 TB: everything is per-row SQL-lambda work — zero
+    shuffles — but the within-row gram counting is O(G²) string compares
+    and the dup coverage O(T·n), so ``max_tokens`` truncates pathological
+    rows (the standard quality-filter guard; signals are then over the
+    prefix). For corpora where full-document coverage matters at book
+    length, the linear alternative is the explode → per-(doc, gram)
+    count shape of ``trim_repeated_spans``.
+    """
+    top_thresholds = (
+        GOPHER_TOP_NGRAM_THRESHOLDS if top_thresholds is None
+        else top_thresholds
+    )
+    dup_thresholds = (
+        GOPHER_DUP_NGRAM_THRESHOLDS if dup_thresholds is None
+        else dup_thresholds
+    )
+    toks = (
+        f"slice(filter(split(lower(trim({text_col})), '\\\\s+'),"
+        f" t -> t != ''), 1, {max_tokens})"
+    )
+    out = df.withColumn("__rt", F.expr(toks)).withColumn(
+        "__rl", F.expr("transform(__rt, t -> length(t))")
+    ).withColumn(
+        "__rtotal", F.expr("aggregate(__rl, 0, (a, x) -> a + x)")
+    )
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    for n in all_ns:
+        out = out.withColumn(
+            f"__g{n}",
+            F.expr(
+                f"CASE WHEN size(__rt) >= {n} THEN"
+                f" transform(sequence(1, size(__rt) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(__rt, i, {n})))"
+                " ELSE array() END"
+            ),
+        ).withColumn(
+            # per-position occurrence counts, computed ONCE per n — the
+            # O(G²) string-compare pass that both the top code and the
+            # dup flags derive from
+            f"__c{n}",
+            F.expr(
+                f"transform(__g{n},"
+                f" x -> size(filter(__g{n}, h -> h = x)))"
+            ),
+        )
+    cols = ["__rt", "__rl", "__rtotal"] + [
+        f"__{p}{n}" for n in all_ns for p in ("g", "c")
+    ]
+    flags = []
+    for n in top_ns:
+        code = (
+            f"array_max(zip_with(__c{n}, __g{n},"
+            " (c, x) -> c * 1000000 + length(x)))"
+        )
+        frac = (
+            f"CASE WHEN size(__g{n}) > 0 AND __rtotal > 0 THEN"
+            f" round(CAST(({code} div 1000000)"
+            f" * (({code}) % 1000000 - {n - 1}) AS DOUBLE)"
+            " / __rtotal, 4) ELSE 0.0 END"
+        )
+        name = f"top_{n}gram_char_frac"
+        out = out.withColumn(name, F.expr(frac))
+        flags.append(F.col(name) <= top_thresholds[n])
+    for n in dup_ns:
+        fcol = (
+            f"transform(__c{n},"
+            " c -> CASE WHEN c >= 2 THEN 1 ELSE 0 END)"
+        )
+        out = out.withColumn(f"__f{n}", F.expr(fcol))
+        cols.append(f"__f{n}")
+        covered = (
+            "aggregate(transform(sequence(1, size(__rt)), j ->"
+            f" CASE WHEN aggregate(slice(__f{n},"
+            f" greatest(1, j - {n - 1}),"
+            f" least(j, size(__f{n})) - greatest(1, j - {n - 1}) + 1),"
+            " 0, (b, y) -> b + y) > 0"
+            " THEN element_at(__rl, j) ELSE 0 END), 0, (a, x) -> a + x)"
+        )
+        frac = (
+            f"CASE WHEN size(__g{n}) > 0 AND __rtotal > 0 THEN"
+            f" round(CAST({covered} AS DOUBLE) / __rtotal, 4)"
+            " ELSE 0.0 END"
+        )
+        name = f"dup_{n}gram_char_frac"
+        out = out.withColumn(name, F.expr(frac))
+        flags.append(F.col(name) <= dup_thresholds[n])
+    gate = flags[0]
+    for fl in flags[1:]:
+        gate = gate & fl
+    return out.withColumn("repetition_pass", gate).drop(*cols)
+
+
 # --- PII redaction ---------------------------------------------------------------
 
 # Conservative patterns valid in both Java regex (Spark) and RE2-style

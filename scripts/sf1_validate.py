@@ -61,6 +61,7 @@ QUERIES = [
     "turn_boilerplate",
     "contamination_score",
     "dup_source_matrix",
+    "gopher_repetition",
 ]
 
 

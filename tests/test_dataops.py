@@ -2703,3 +2703,75 @@ def test_ingest_admission_filter(spark, tmp_path):
             admission_filter=lambda df: df,
             ingestor=ing,
         )
+
+
+def test_gopher_repetition(spark):
+    """Gopher Table A1 repetition signals vs a pure-Python twin:
+    overlap-counting top-gram fractions (can exceed 1 on degenerate
+    fully-repeated text, matching public implementations), position-
+    UNION duplicate coverage (overlapping duplicates counted once), and
+    empty/1-token totality."""
+    from punt_spark.dataops.textstats import gopher_repetition
+
+    def py_signals(t, top_ns=(2, 3, 4), dup_ns=(5, 6)):
+        toks = t.lower().split()
+        L = [len(x) for x in toks]
+        total = sum(L)
+        out = {}
+        for n in top_ns:
+            grams = [
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            ]
+            if not grams or not total:
+                out[f"top_{n}gram_char_frac"] = 0.0
+                continue
+            # max on (count, gram string length) — the engine tie-break
+            cnt, ln = max(
+                (grams.count(g), len(g)) for g in grams
+            )
+            out[f"top_{n}gram_char_frac"] = round(
+                cnt * (ln - (n - 1)) / total, 4
+            )
+        for n in dup_ns:
+            grams = [
+                " ".join(toks[i : i + n])
+                for i in range(len(toks) - n + 1)
+            ]
+            if not grams or not total:
+                out[f"dup_{n}gram_char_frac"] = 0.0
+                continue
+            dup_starts = [
+                i for i, g in enumerate(grams) if grams.count(g) >= 2
+            ]
+            covered = {
+                j for i in dup_starts for j in range(i, i + n)
+            }
+            out[f"dup_{n}gram_char_frac"] = round(
+                sum(L[j] for j in covered) / total, 4
+            )
+        return out
+
+    rows = [
+        (0, "spam spam spam spam spam spam"),
+        (1, "a b c d e f g h i j"),
+        (2, "one two three four five one two three four five tail"),
+        (3, "x y x y x y q r s t u v w"),
+        (4, ""),
+        (5, "solo"),
+        (6, "p q r s t p q r s t p q r s t"),  # overlapping dup 5-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(df, dup_ns=(5, 6)).collect()
+    }
+    for i, t in rows:
+        exp = py_signals(t)
+        for k, v in exp.items():
+            assert got[i][k] == pytest.approx(v), (i, k, got[i][k], v)
+    # degenerate text: overlapping top-gram occurrences push past 1.0
+    assert got[0]["top_2gram_char_frac"] > 1.0
+    # doc 6: every position covered by a duplicated 5-gram exactly once
+    assert got[6]["dup_5gram_char_frac"] == 1.0
+    assert got[4]["repetition_pass"] and got[5]["repetition_pass"]
