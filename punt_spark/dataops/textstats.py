@@ -284,9 +284,12 @@ def gopher_repetition(
     ]
     flags = []
     for n in top_ns:
+        # bigint arithmetic: int32 would ANSI-overflow-kill the task at
+        # count·10⁶ + len ≥ 2³¹ (a ~100M-char gram at count 2048 — absurd
+        # but a crash, not a wrong answer, so cheap to rule out)
         code = (
             f"array_max(zip_with(__c{n}, __g{n},"
-            " (c, x) -> c * 1000000 + length(x)))"
+            " (c, x) -> cast(c AS bigint) * 1000000 + length(x)))"
         )
         frac = (
             f"CASE WHEN size(__g{n}) > 0 AND __rtotal > 0 THEN"
