@@ -1207,6 +1207,22 @@ def q_contamination_score(spark, sf_dir):
     )
 
 
+def q_cross_perplexity(spark, sf_dir):
+    """CCNet scoring proper (Wenzek et al. 2020): the bigram LM trains
+    on the REFERENCE slice (source = src0, the same target split DSIR
+    uses) and scores the rest of the corpus — n-grams unseen in the
+    reference take the smoothing floor via left joins. The self-trained
+    variant is the `bigram_logprob` gate."""
+    from punt_spark.dataops.textstats import with_bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("source") == "src0")
+    raw = d.filter(F.col("source") != "src0")
+    return with_bigram_logprob(raw, train_df=train).select(
+        "doc_id", F.round("bigram_logprob", 4).alias("xblp_r")
+    )
+
+
 def q_gopher_repetition(spark, sf_dir):
     """Gopher Table A1 repetition signals: top-{2,3,4}-gram char
     fractions (paper thresholds) plus duplicate-n-gram char coverage at
@@ -1319,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_score": q_contamination_score,
         "dup_source_matrix": q_dup_source_matrix,
         "gopher_repetition": q_gopher_repetition,
+        "cross_perplexity": q_cross_perplexity,
     }
 
 
@@ -2241,6 +2258,42 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY bg.doc_id)
             SELECT d.doc_id, round(coalesce(scores.s, 0.0), 4) AS blp_r
             FROM documents d LEFT JOIN scores ON d.doc_id = scores.doc_id
+        """,
+        # CCNet scoring proper: LM counts/vocab from the src0 reference
+        # slice, raw docs scored with LEFT joins so reference-unseen
+        # n-grams take the smoothing floor (coalesce 0).
+        "cross_perplexity": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(trim(text)),
+                                   '\\s+'), t -> t != '') AS ws
+                FROM documents
+            ), bgt AS (
+                SELECT ws[i] AS w1, ws[i+1] AS w2
+                FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+                WHERE len(ws) >= 2 AND source = 'src0'
+            ), bgr AS (
+                SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+                WHERE len(ws) >= 2 AND source <> 'src0'
+            ), c12 AS (
+                SELECT w1, w2, COUNT(*) AS c12 FROM bgt GROUP BY w1, w2
+            ), c1 AS (
+                SELECT w1, COUNT(*) AS c1 FROM bgt GROUP BY w1
+            ), v AS (
+                SELECT COUNT(DISTINCT tok) AS vs FROM (
+                    SELECT unnest(ws) AS tok FROM w WHERE source = 'src0')
+            ), scores AS (
+                SELECT bgr.doc_id,
+                       avg(ln((coalesce(c12.c12, 0) + 1.0) /
+                              (coalesce(c1.c1, 0)
+                               + (SELECT vs FROM v)))) AS s
+                FROM bgr LEFT JOIN c12 USING (w1, w2)
+                         LEFT JOIN c1 USING (w1)
+                GROUP BY bgr.doc_id)
+            SELECT d.doc_id, round(coalesce(scores.s, 0.0), 4) AS xblp_r
+            FROM documents d LEFT JOIN scores ON d.doc_id = scores.doc_id
+            WHERE d.source <> 'src0'
         """,
         # CCNet tiers: the bigram_logprob oracle's score (rounded 4dp),
         # tertile cuts via quantile_cont on the rounded grid, band CASE.

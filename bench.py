@@ -96,6 +96,7 @@ OP_QUERIES = [
     "contamination_score",
     "dup_source_matrix",
     "gopher_repetition",
+    "cross_perplexity",
 ]
 
 

@@ -511,13 +511,21 @@ def with_bigram_logprob(
     id_col: str = "doc_id",
     out: str = "bigram_logprob",
     alpha: float = 1.0,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-document mean bigram log-probability under the corpus's own
-    bigram model — the perplexity-filter analog that needs no external LM
-    (KenLM-style filtering trains on a reference corpus; self-perplexity
-    flags the same outliers: templated/shuffled/garbage text scores far
-    from the corpus mode). Add-``alpha`` smoothing over the unigram
-    vocabulary: p(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha·V).
+    """Per-document mean bigram log-probability. Default (``train_df``
+    None): under the corpus's OWN bigram model — the perplexity-filter
+    analog that needs no external LM (KenLM-style filtering trains on a
+    reference corpus; self-perplexity flags the same outliers:
+    templated/shuffled/garbage text scores far from the corpus mode).
+    With ``train_df``: the CCNet setup proper (Wenzek et al. 2020 train
+    the LM on Wikipedia and score the crawl) — counts and vocabulary
+    come from the reference corpus, and n-grams UNSEEN in it take the
+    smoothing floor p = alpha/(c(w1)+alpha·V) via left joins instead of
+    being dropped from the average (an inner join would silently score
+    out-of-domain text as if its unseen bigrams never happened).
+    Add-``alpha`` smoothing over the unigram vocabulary:
+    p(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha·V).
 
     Shape at scale: the bigram-explode subtree feeds the two count tables
     (bigram + unigram, both vocabulary-bounded, map-side combined) AND
@@ -547,23 +555,45 @@ def with_bigram_logprob(
             )
         ).alias("__pos", "__bg"),
     ).select(id_col, F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
-    bg_counts = bigrams.groupBy("w1", "w2").agg(
+    if train_df is None:
+        # self mode: every scored bigram exists in the count tables by
+        # construction, so the joins stay inner (tightest plan)
+        train_bigrams, vocab_src, how = bigrams, d, "inner"
+    else:
+        t = train_df.withColumn("__toks", toks)
+        train_bigrams = t.select(
+            F.posexplode(
+                F.expr(
+                    "CASE WHEN size(__toks) >= 2 THEN "
+                    "transform(sequence(1, size(__toks) - 1),"
+                    " i -> struct(__toks[i-1] AS w1, __toks[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("__pos", "__bg")
+        ).select(F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2"))
+        vocab_src, how = t, "left"
+    bg_counts = train_bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    uni_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = d.select(F.explode("__toks").alias("w")).agg(
+    uni_counts = train_bigrams.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = vocab_src.select(F.explode("__toks").alias("w")).agg(
         F.count_distinct(F.col("w")).cast("double").alias("__v")
     )
     scored = (
-        bigrams.join(bg_counts, ["w1", "w2"])
-        .join(uni_counts, "w1")
+        bigrams.join(bg_counts, ["w1", "w2"], how)
+        .join(uni_counts, "w1", how)
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.avg(
                 F.log(
-                    (F.col("c12") + F.lit(alpha))
-                    / (F.col("c1") + F.lit(alpha) * F.col("__v"))
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                    / (
+                        F.coalesce(F.col("c1"), F.lit(0))
+                        + F.lit(alpha) * F.col("__v")
+                    )
                 )
             ).alias(out)
         )

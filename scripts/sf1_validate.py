@@ -62,6 +62,7 @@ QUERIES = [
     "contamination_score",
     "dup_source_matrix",
     "gopher_repetition",
+    "cross_perplexity",
 ]
 
 

@@ -2775,3 +2775,33 @@ def test_gopher_repetition(spark):
     # doc 6: every position covered by a duplicated 5-gram exactly once
     assert got[6]["dup_5gram_char_frac"] == 1.0
     assert got[4]["repetition_pass"] and got[5]["repetition_pass"]
+
+
+def test_bigram_logprob_train_df(spark):
+    """CCNet reference-LM mode: counts/vocab from train_df, unseen
+    bigrams and unseen unigrams take the smoothing floor (left joins)
+    instead of being dropped from the average."""
+    import math
+
+    from punt_spark.dataops.textstats import with_bigram_logprob
+
+    train = spark.createDataFrame(
+        [(100, "a b a c")], "doc_id long, text string"
+    )  # c12: (a,b)=1,(b,a)=1,(a,c)=1; c1: a=2,b=1; V=3
+    raw = spark.createDataFrame(
+        [
+            (1, "a b z"),  # seen (a,b) + unseen (b,z) with seen w1
+            (2, "z q"),    # fully unseen incl. w1
+            (3, "solo"),   # < 2 tokens -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["bigram_logprob"]
+        for r in with_bigram_logprob(raw, train_df=train).collect()
+    }
+    exp1 = (math.log((1 + 1) / (2 + 3)) + math.log((0 + 1) / (1 + 3))) / 2
+    exp2 = math.log((0 + 1) / (0 + 3))
+    assert got[1] == pytest.approx(exp1)
+    assert got[2] == pytest.approx(exp2)
+    assert got[3] == 0.0
