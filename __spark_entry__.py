@@ -578,9 +578,11 @@ def q_bigram_logprob(spark, sf_dir):
     filter analog with no external LM)."""
     from punt_spark.dataops.textstats import with_bigram_logprob
 
+    from punt_spark.dataops.sampling import round_signed
+
     d = _t(spark, sf_dir, "documents")
     return with_bigram_logprob(d).select(
-        "doc_id", F.round("bigram_logprob", 4).alias("blp_r")
+        "doc_id", round_signed(F.col("bigram_logprob"), 4).alias("blp_r")
     )
 
 
@@ -1022,13 +1024,18 @@ def q_ann_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "v", F.col("embedding").cast("array<double>")
     )
+    from punt_spark.dataops.sampling import round_signed
+
     q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     sims = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            F.round(F.expr(_cosine_expr("v", "qv")), 2).alias("sim_r"),
+            # round_signed: a raw cosine in (-0.005, 0) must emit -0.0 to
+            # byte-match DuckDB's DOUBLE round (the r6 semantic_dedup
+            # hash-gap class; latent here on fixture luck)
+            round_signed(F.expr(_cosine_expr("v", "qv")), 2).alias("sim_r"),
         )
     )
     # Distributed top-k (TakeOrderedAndProject), not a single-partition
@@ -1064,9 +1071,11 @@ def q_perplexity_buckets(spark, sf_dir):
     (see textstats.score_buckets determinism note)."""
     from punt_spark.dataops.textstats import score_buckets, with_bigram_logprob
 
+    from punt_spark.dataops.sampling import round_signed
+
     d = _t(spark, sf_dir, "documents")
     scored = with_bigram_logprob(d).withColumn(
-        "blp_r", F.round("bigram_logprob", 4)
+        "blp_r", round_signed(F.col("bigram_logprob"), 4)
     )
     return score_buckets(scored, "blp_r", exact=True, out="ppl_bucket").select(
         "doc_id", "blp_r", "ppl_bucket"
@@ -1081,10 +1090,12 @@ def q_dsir_select(spark, sf_dir):
     from punt_spark.dataops.dsir import dsir_select
 
     d = _t(spark, sf_dir, "documents")
+    from punt_spark.dataops.sampling import round_signed
+
     target = d.filter(F.col("source") == "src0")
     raw = d.filter(F.col("source") != "src0")
     return dsir_select(raw, target, k=100, n_buckets=64).select(
-        "doc_id", F.round("logw", 4).alias("logw_r"), "key_r"
+        "doc_id", round_signed(F.col("logw"), 4).alias("logw_r"), "key_r"
     )
 
 
@@ -1216,10 +1227,12 @@ def q_cross_perplexity(spark, sf_dir):
     from punt_spark.dataops.textstats import with_bigram_logprob
 
     d = _t(spark, sf_dir, "documents")
+    from punt_spark.dataops.sampling import round_signed
+
     train = d.filter(F.col("source") == "src0")
     raw = d.filter(F.col("source") != "src0")
     return with_bigram_logprob(raw, train_df=train).select(
-        "doc_id", F.round("bigram_logprob", 4).alias("xblp_r")
+        "doc_id", round_signed(F.col("bigram_logprob"), 4).alias("xblp_r")
     )
 
 

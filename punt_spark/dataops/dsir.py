@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from punt_spark.dataops.sampling import bucket_of
+from punt_spark.dataops.sampling import bucket_of, round_signed
 
 _GUMBEL_BUCKETS = 1 << 32
 
@@ -169,6 +169,10 @@ def dsir_select(
     w = dsir_weights(raw, target, text_col, id_col, n_buckets, alpha, salt)
     keyed = w.withColumn(
         "key_r",
-        F.round(F.col("logw") + gumbel_noise(F.col(id_col), gumbel_salt), round_dp),
+        # round_signed: a perturbed key in (-0.005, 0) must emit -0.0 to
+        # byte-match the DuckDB oracle's DOUBLE round (see sampling)
+        round_signed(
+            F.col("logw") + gumbel_noise(F.col(id_col), gumbel_salt), round_dp
+        ),
     )
     return keyed.orderBy(F.col("key_r").desc(), F.col(id_col)).limit(k)

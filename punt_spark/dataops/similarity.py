@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from .dedup import bucket_census
+from .sampling import round_signed
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
@@ -577,7 +578,8 @@ def semantic_dedup(
             assigned.join(
                 F.broadcast(cdf.withColumnRenamed("cid", "cluster")), "cluster"
             )
-            .withColumn("csim_r", F.round(F.expr(_cos("v", "cv")), round_dp))
+            .withColumn("__csraw", F.expr(_cos("v", "cv")))
+            .withColumn("csim_r", F.round(F.col("__csraw"), round_dp))
             .drop("cv")
         )
     else:
@@ -631,22 +633,31 @@ def semantic_dedup(
         # slower on codegen size alone), then lexicographic min of
         # (-sim, cid) = argmax sim with centroid-id tie-break,
         # degenerate (NULL-sim) centroids pushed last
-        scored = (
+        # raw sim bound once in an inner transform, rounded in the outer —
+        # the raw value rides along so the OUTPUT column can replay
+        # DuckDB's signed zero (round_signed below) while every internal
+        # order/compare keeps the sign-normalized rounded value
+        raw_scored = (
             f"transform({cents_sql}, c -> struct("
-            f"round(nullif(try_divide({_DOT.format(a='v', b='c.cv')}, "
-            f"__nv * c.nc), double('NaN')), {round_dp}) AS cs, "
+            f"nullif(try_divide({_DOT.format(a='v', b='c.cv')}, "
+            f"__nv * c.nc), double('NaN')) AS raw, "
             f"c.cid AS cid))"
+        )
+        scored = (
+            f"transform({raw_scored}, s -> struct("
+            f"round(s.raw, {round_dp}) AS cs, s.cid AS cid, s.raw AS raw))"
         )
         pick = (
             f"array_min(transform({scored}, s -> struct("
             f"coalesce(-s.cs, double('Infinity')) AS ncs, "
-            f"s.cid AS cid, s.cs AS cs)))"
+            f"s.cid AS cid, s.cs AS cs, s.raw AS raw)))"
         )
         assigned = v.withColumn("__pick", F.expr(pick)).select(
             id_col,
             "v",
             F.col("__pick.cid").alias("cluster"),
             F.col("__pick.cs").alias("csim_r"),
+            F.col("__pick.raw").alias("__csraw"),
         )
 
     # materialize once: the census, the star side, and both pair-join
@@ -698,7 +709,10 @@ def semantic_dedup(
         .select(
             id_col,
             "cluster",
-            F.col("csim_r").alias("centroid_sim"),
+            # OUTPUT column replays DuckDB's signed zero (a raw sim in
+            # (-0.005, 0) must emit -0.0 — the r6 driver hash gap);
+            # csim_r stays sign-normalized for every internal order above
+            round_signed(F.col("__csraw"), round_dp).alias("centroid_sim"),
             F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"),
         )
     )

@@ -3,6 +3,7 @@ __spark_entry__.queries() entry and its oracle_sql() through DuckDB on the
 same parquet, compare row count + schema + order-insensitive values."""
 
 import os
+import struct
 import sys
 
 import duckdb
@@ -32,17 +33,33 @@ def duck():
     return con
 
 
+def _float_bits(v) -> str | None:
+    # BITWISE float identity — the driver's value hash is byte-level, so
+    # -0.0 vs 0.0 and last-ulp divergence must FAIL here too (r6 shipped
+    # semantic_dedup locally green on a round-6dp pandas compare while the
+    # driver's hash caught a signed zero). NaN/NULL both land as None: the
+    # engines surface SQL NULL as NaN through pandas, indistinguishably.
+    return None if pd.isna(v) else struct.pack("<d", float(v)).hex()
+
+
 def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pdf.copy()
     for c in out.columns:
         if pd.api.types.is_datetime64_any_dtype(out[c]):
             out[c] = pd.to_datetime(out[c]).dt.tz_localize(None).astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(out[c]):
-            out[c] = out[c].round(6)
+            out[c] = out[c].map(_float_bits)
         elif pd.api.types.is_integer_dtype(out[c]):
             out[c] = out[c].astype("int64")
     cols = sorted(out.columns)
     return out[cols].sort_values(cols).reset_index(drop=True)
+
+
+def test_norm_rejects_signed_zero():
+    # the planted regression: a -0.0 must not compare equal to 0.0
+    a = _norm(pd.DataFrame({"x": [0.0]}))
+    b = _norm(pd.DataFrame({"x": [-0.0]}))
+    assert a["x"][0] != b["x"][0]
 
 
 QUERY_NAMES = sorted(entrymod.oracle_sql().keys())
