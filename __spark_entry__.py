@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -31,26 +32,103 @@ ROUTES = [("purchase", "buy-"), ("signup", "join-")]
 CATCHALL_PREFIX = "evt-"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     # Pin UTC so date_format matches DuckDB's tz-naive strftime regardless
     # of the driver session's zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # The sf* fixtures are single-row-group parquet files — one scan task —
-    # so every downstream md5/regex/shingle pass would run single-threaded.
-    # Spread the rows across the executor cores (guarded: a real 100 TB
-    # input arrives as thousands of splits and this is a no-op).
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # so a heavy downstream md5/regex/shingle MAP pass would run
+    # single-threaded. Spread the rows across the executor cores
+    # (guarded: a real 100 TB input arrives as thousands of splits and
+    # this is a no-op). ``spread=False`` opts out for queries whose
+    # per-row map work is trivial or whose first real operator is a
+    # shuffle anyway (a window/groupBy repartitions by its own key):
+    # there the round-robin exchange moves every input byte through one
+    # map task for nothing — measured 1.20 s → 0.28 s on route_counts.
+    if spread:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     return df
+
+
+# Scoped execution for small inputs: pin the shuffle width to the DATA
+# and disable AQE while the query's actions run. At the bench/oracle
+# scale factors every exchange would otherwise fan 5k-100k rows across
+# the session's 32-64 partitions with one AQE re-planning round-trip per
+# exchange — pure fixed cost (measured ~2x on every one-shuffle query;
+# the r6 curate_corpus 8.7->5.4 s finding, generalized). The width
+# derives from the input BYTES (>=8 MB per partition, floor 8), so a
+# larger driver-generated scale factor widens the scope automatically,
+# and once the derived width reaches the session default the scope is a
+# NO-OP (lazy frame, session conf untouched, AQE on) — production plans
+# are unchanged. Callers must materialize inside the scope
+# (localCheckpoint) when `small` is True so the actions actually run
+# under the scoped conf; results are corpus-bounded by construction.
+_SCOPE_BYTES_PER_PART = 8 << 20
+
+
+@contextmanager
+def _small_input_scope(spark: SparkSession, sf_dir: str, *tables: str):
+    nbytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in tables
+    )
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(8, nbytes // _SCOPE_BYTES_PER_PART)
+    if width >= default_width:
+        yield False
+        return
+    scoped = {
+        "spark.sql.shuffle.partitions": str(width),
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        yield True
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _scoped(spark, sf_dir, tables, build):
+    """Run ``build()`` under ``_small_input_scope`` and materialize the
+    result inside the scope (no-op passthrough at production widths)."""
+    with _small_input_scope(spark, sf_dir, *tables) as small:
+        out = build()
+        if small:
+            out = out.localCheckpoint()
+    return out
+
+
+def _values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny literal dimension as a VALUES LocalRelation. createDataFrame
+    over a Python list plans Scan ExistingRDD (applySchemaToPythonRDD) —
+    one extra Python-RDD job per invocation just to ship 2-3 constant
+    rows; a VALUES literal folds into the plan with zero jobs."""
+
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    vals = ",".join("(" + ",".join(lit(v) for v in r) + ")" for r in rows)
+    cols = ",".join(c.strip().split()[0] for c in schema.split(","))
+    return spark.sql(f"SELECT * FROM VALUES {vals} AS t({cols})")
 
 
 def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events joined to the route registry: broadcast join + '*' fallback
-    (reference cluster.go:253-263) + route_key (cluster.go:284)."""
-    e = _t(spark, sf_dir, "events")
-    routes = spark.createDataFrame(ROUTES, "rtag string, prefix string")
+    (reference cluster.go:253-263) + route_key (cluster.go:284).
+    spread=False: the route join is broadcast and the per-row work is one
+    date_format — the blanket spread exchange was the whole cost."""
+    e = _t(spark, sf_dir, "events", spread=False)
+    routes = _values_df(spark, ROUTES, "rtag string, prefix string")
     j = e.join(F.broadcast(routes), e.event_type == F.col("rtag"), "left")
     return j.withColumn(
         "route_key",
@@ -68,11 +146,15 @@ def _routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_route_counts(spark, sf_dir):
     """R1+R2+A1: tag dispatch w/ catch-all, hourly route_key, per-sink counts."""
-    return (
-        _routed(spark, sf_dir)
-        .groupBy("route_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        out = (
+            _routed(spark, sf_dir)
+            .groupBy("route_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 def q_routed_rows(spark, sf_dir):
@@ -106,12 +188,17 @@ def q_regex_extract(spark, sf_dir):
 
 def q_regex_filter(spark, sf_dir):
     """F1: regex match predicate (alert source filter)."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.filter(F.col("props").rlike(r'"k": 1\d+'))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        # spread=False: the rlike is pushed below any spread exchange
+        e = _t(spark, sf_dir, "events", spread=False)
+        out = (
+            e.filter(F.col("props").rlike(r'"k": 1\d+'))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 def q_unixtime_mutator(spark, sf_dir):
@@ -127,19 +214,26 @@ def q_unixtime_mutator(spark, sf_dir):
 
 
 def q_window_rollup(spark, sf_dir):
-    """A4: tumbling-window rollup (alert window, 60s) per tag."""
-    e = _t(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.window("ts", "60 seconds").alias("w"), F.col("event_type")
+    """A4: tumbling-window rollup (alert window, 60s) per tag.
+    spread=False: the rollup's own hash exchange is the first operator
+    that needs a distribution — the blanket spread was a second full
+    exchange of the input for nothing."""
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        e = _t(spark, sf_dir, "events", spread=False)
+        out = (
+            e.groupBy(
+                F.window("ts", "60 seconds").alias("w"), F.col("event_type")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("event_type"),
+                F.col("n_events"),
+            )
         )
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("event_type"),
-            F.col("n_events"),
-        )
-    )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 def q_tail_filter(spark, sf_dir):
@@ -164,21 +258,34 @@ def q_tail_sample(spark, sf_dir):
 def q_retention_topk(spark, sf_dir):
     """R9: keep-N retention — newest 2 day-buckets, lexicographic ==
     chronological (gc.go:29-37)."""
-    e = _t(spark, sf_dir, "events")
-    days = e.select(F.date_format("ts", "yyyy-MM-dd").alias("ts_day")).distinct()
-    # orderBy+limit plans TakeOrderedAndProject (distributed top-k); a global
-    # row_number window would serialize the relation onto one partition.
-    return days.orderBy(F.col("ts_day").desc()).limit(2)
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        e = _t(spark, sf_dir, "events", spread=False)
+        days = e.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("ts_day")
+        ).distinct()
+        # orderBy+limit plans TakeOrderedAndProject (distributed top-k); a
+        # global row_number window would serialize the relation onto one
+        # partition.
+        out = days.orderBy(F.col("ts_day").desc()).limit(2)
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 def q_tag_metrics(spark, sf_dir):
     """A1: per-tag received / json-parseable counters."""
-    e = _t(spark, sf_dir, "events")
-    ok = F.from_json("props", "map<string,string>").isNotNull()
-    return e.groupBy(F.col("event_type").alias("tag")).agg(
-        F.count(F.lit(1)).alias("n_received"),
-        F.sum(F.when(ok, 1).otherwise(0)).alias("n_json_ok"),
-    )
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        # spread stays on: the from_json probe is real per-row map work
+        # that would otherwise run on the single scan task
+        e = _t(spark, sf_dir, "events")
+        ok = F.from_json("props", "map<string,string>").isNotNull()
+        out = e.groupBy(F.col("event_type").alias("tag")).agg(
+            F.count(F.lit(1)).alias("n_received"),
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_json_ok"),
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 LOOKUP_DIM = [
@@ -191,9 +298,11 @@ LOOKUP_DIM = [
 def q_lookup_enrich(spark, sf_dir):
     """M2 (geoip generalization): broadcast lookup enrichment with left-join
     no-op on missing keys (mutators.go:60-113)."""
-    e = _t(spark, sf_dir, "events")
-    dim = spark.createDataFrame(
-        LOOKUP_DIM, "ltag string, category string, risk_code int"
+    # broadcast join + projection only: no exchange at all once the
+    # blanket spread is off — no scope needed either
+    e = _t(spark, sf_dir, "events", spread=False)
+    dim = _values_df(
+        spark, LOOKUP_DIM, "ltag string, category string, risk_code int"
     )
     return (
         e.join(F.broadcast(dim), e.event_type == F.col("ltag"), "left")
@@ -205,39 +314,49 @@ def q_sessionize(spark, sf_dir):
     """Stateful ordering op: per-user sessionization (gap > 30 min starts a
     new session) via lag window — the (conv_id, turn_idx) stable-ordering
     machinery exercised on events."""
-    e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch (UTC)
-    gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = e.withColumn(
-        "session_id",
-        F.sum(new_sess).over(
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("event_id").alias("first_event"),
-    )
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        # spread=False: the session windows shuffle by user_id first
+        e = _t(spark, sf_dir, "events", spread=False)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch (UTC)
+        gap = epoch - F.lag(epoch).over(w)
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        sess = e.withColumn(
+            "session_id",
+            F.sum(new_sess).over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        out = sess.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 def q_turn_ordering_digest(spark, sf_dir):
     """Per-turn equality under stable ordering: per-user event_id sequence,
     ordered by (ts, event_id), joined into one digest string — the
     sort-then-concat per-conversation invariant check from the north_star."""
-    e = _t(spark, sf_dir, "events")
-    # SQL lambda, not a Python lambda — see dedup.minhash_signatures for
-    # the cross-binding failure mode this avoids
-    ordered = F.expr(
-        "transform(array_sort(collect_list(struct(ts, event_id))),"
-        " s -> cast(s.event_id as string))"
-    )
-    return e.groupBy("user_id").agg(
-        F.array_join(ordered, ",").alias("event_seq")
-    )
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        # spread=False: the digest groupBy shuffles by user_id first
+        e = _t(spark, sf_dir, "events", spread=False)
+        # SQL lambda, not a Python lambda — see dedup.minhash_signatures
+        # for the cross-binding failure mode this avoids
+        ordered = F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id))),"
+            " s -> cast(s.event_id as string))"
+        )
+        out = e.groupBy("user_id").agg(
+            F.array_join(ordered, ",").alias("event_seq")
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 # --- training-data ops: documents ------------------------------------------
@@ -245,10 +364,16 @@ def q_turn_ordering_digest(spark, sf_dir):
 
 def q_dedup_keep_first(spark, sf_dir):
     """Exact dedup keep-first: representative doc_id (min) per text hash."""
-    d = _t(spark, sf_dir, "documents")
-    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count(F.lit(1)).alias("n_copies"),
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        ),
     )
 
 
@@ -270,26 +395,35 @@ def q_ngram_jaccard(spark, sf_dir):
     Deliberately exact for oracle parity; the scale path is
     dedup.ngram_jaccard_pairs(max_df=...) whose stop-shingle cap bounds the
     candidate join against hot boilerplate shingles."""
-    sh = _shingled(spark, sf_dir).select("doc_id", "shingle").distinct()
-    sh = sh.withColumnRenamed("shingle", "s")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("nb"))
-    jacc = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jacc >= 0.2)  # filter on the raw value, round only for output
-        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard_r"))
-    )
+    def build():
+        sh = _shingled(spark, sf_dir).select("doc_id", "shingle").distinct()
+        sh = sh.withColumnRenamed("shingle", "s")
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"), F.col("sz").alias("na")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"), F.col("sz").alias("nb")
+        )
+        jacc = F.col("n_inter") / (
+            F.col("na") + F.col("nb") - F.col("n_inter")
+        )
+        return (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(jacc >= 0.2)  # filter raw value, round only for output
+            .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard_r"))
+        )
+
+    return _scoped(spark, sf_dir, ("documents",), build)
 
 
 def q_quality_filter(spark, sf_dir):
@@ -311,11 +445,15 @@ def q_quality_filter(spark, sf_dir):
 
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup via hash-groupBy (md5 of raw text)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
-            "n_unique_texts"
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _t(spark, sf_dir, "documents").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col("text").cast("binary"))).alias(
+                "n_unique_texts"
+            ),
         ),
     )
 
@@ -394,16 +532,25 @@ def _shingled_from(d):
 def q_minhash_signature(spark, sf_dir):
     """MinHash (1 permutation): min md5 over word-3-gram shingles. md5 is the
     shared deterministic hash between Spark and DuckDB."""
-    sh = _shingled(spark, sf_dir)
-    return sh.groupBy("doc_id").agg(
-        F.min(F.md5(F.col("shingle").cast("binary"))).alias("minhash")
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _shingled(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5(F.col("shingle").cast("binary"))).alias("minhash")),
     )
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates: 4 hashes → 2 bands of 2 → bucket
     join → candidate pairs (doc_a < doc_b)."""
-    return _minhash_pairs_from(_t(spark, sf_dir, "documents"))
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: _minhash_pairs_from(_t(spark, sf_dir, "documents")),
+    )
 
 
 def _minhash_pairs_from(d):
@@ -419,12 +566,18 @@ def _minhash_pairs_from(d):
             for j in range(4)
         ]
     )
+    # one explode over a 2-element band array instead of a unionAll of
+    # two projections: the union compiled the whole shingle+signature
+    # subtree TWICE (no subplan sharing), the explode computes it once —
+    # identical (doc_id, b) rows
     bands = sig.select(
-        "doc_id", F.md5(F.concat("h0", "h1").cast("binary")).alias("b")
-    ).unionAll(
-        sig.select(
-            "doc_id", F.md5(F.concat("h2", "h3").cast("binary")).alias("b")
-        )
+        "doc_id",
+        F.explode(
+            F.array(
+                F.md5(F.concat("h0", "h1").cast("binary")),
+                F.md5(F.concat("h2", "h3").cast("binary")),
+            )
+        ).alias("b"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -479,10 +632,13 @@ def q_decontaminate(spark, sf_dir):
     broadcast left_anti, corpus never shuffles."""
     from punt_spark.dataops.dedup import decontaminate
 
-    d = _t(spark, sf_dir, "documents")
-    bench = d.filter(F.col("doc_id") % 20 == 0)
-    corpus = d.filter(F.col("doc_id") % 20 != 0)
-    return decontaminate(corpus, bench, shingle_n=5).select("doc_id")
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        bench = d.filter(F.col("doc_id") % 20 == 0)
+        corpus = d.filter(F.col("doc_id") % 20 != 0)
+        return decontaminate(corpus, bench, shingle_n=5).select("doc_id")
+
+    return _scoped(spark, sf_dir, ("documents",), build)
 
 
 def q_hash_split(spark, sf_dir):
@@ -503,9 +659,13 @@ def q_source_cap(spark, sf_dir):
     DuckDB-replayable."""
     from punt_spark.dataops.sampling import cap_per_group
 
-    d = _t(spark, sf_dir, "documents")
-    return cap_per_group(d, "source", "doc_id", cap=20).select(
-        "doc_id", "source"
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: cap_per_group(
+            _t(spark, sf_dir, "documents"), "source", "doc_id", cap=20
+        ).select("doc_id", "source"),
     )
 
 
@@ -514,13 +674,19 @@ def q_mixture_stats(spark, sf_dir):
     token sum, and share of the total token budget."""
     from punt_spark.dataops.sampling import mixture_stats
 
-    d = _t(spark, sf_dir, "documents")
-    return mixture_stats(d, ["lang", "source"]).select(
-        "lang",
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.round("token_share", 6).alias("token_share_r"),
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: mixture_stats(
+            _t(spark, sf_dir, "documents"), ["lang", "source"]
+        ).select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("token_share", 6).alias("token_share_r"),
+        ),
     )
 
 
@@ -529,9 +695,13 @@ def q_idf_score(spark, sf_dir):
     distinct tokens (boilerplate scores low, rare vocabulary high)."""
     from punt_spark.dataops.textstats import with_idf_score
 
-    d = _t(spark, sf_dir, "documents")
-    return with_idf_score(d).select(
-        "doc_id", F.round("idf_score", 4).alias("idf_r")
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: with_idf_score(_t(spark, sf_dir, "documents")).select(
+            "doc_id", F.round("idf_score", 4).alias("idf_r")
+        ),
     )
 
 
@@ -542,20 +712,25 @@ def q_render_conversations(spark, sf_dir):
     dataops (dedup/quality/packing run on the rendered text)."""
     from punt_spark.dataops.transcripts import render_conversations
 
-    e = _t(spark, sf_dir, "events")
-    out = render_conversations(
-        e,
-        conv_col="user_id",
-        order_cols=("ts", "event_id"),
-        role_col="event_type",
-        text_col="props",
-    )
-    return out.select(
-        "user_id",
-        "text",
-        "n_turns",
-        F.array_join("roles", ",").alias("roles_csv"),
-    )
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        # spread=False: assembly shuffles by conversation key first
+        e = _t(spark, sf_dir, "events", spread=False)
+        out = render_conversations(
+            e,
+            conv_col="user_id",
+            order_cols=("ts", "event_id"),
+            role_col="event_type",
+            text_col="props",
+        )
+        out = out.select(
+            "user_id",
+            "text",
+            "n_turns",
+            F.array_join("roles", ",").alias("roles_csv"),
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 def q_vocab_top_terms(spark, sf_dir):
@@ -564,11 +739,13 @@ def q_vocab_top_terms(spark, sf_dir):
     orderBy+limit plans TakeOrderedAndProject (distributed top-k)."""
     from punt_spark.dataops.textstats import token_frequencies
 
-    d = _t(spark, sf_dir, "documents")
-    return (
-        token_frequencies(d)
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: token_frequencies(_t(spark, sf_dir, "documents"))
         .orderBy(F.col("count").desc(), F.col("token"))
-        .limit(50)
+        .limit(50),
     )
 
 
@@ -580,9 +757,13 @@ def q_bigram_logprob(spark, sf_dir):
 
     from punt_spark.dataops.sampling import round_signed
 
-    d = _t(spark, sf_dir, "documents")
-    return with_bigram_logprob(d).select(
-        "doc_id", round_signed(F.col("bigram_logprob"), 4).alias("blp_r")
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: with_bigram_logprob(_t(spark, sf_dir, "documents")).select(
+            "doc_id", round_signed(F.col("bigram_logprob"), 4).alias("blp_r")
+        ),
     )
 
 
@@ -592,9 +773,13 @@ def q_pack_sequences(spark, sf_dir):
     boundaries; docs may straddle (padding-free packed batches)."""
     from punt_spark.dataops.packing import pack_sequences
 
-    d = _t(spark, sf_dir, "documents")
-    return pack_sequences(d, "doc_id", budget=512, shards=8).select(
-        "doc_id", "n_tokens", "shard", "seq_id", "seq_offset"
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: pack_sequences(
+            _t(spark, sf_dir, "documents"), "doc_id", budget=512, shards=8
+        ).select("doc_id", "n_tokens", "shard", "seq_id", "seq_offset"),
     )
 
 
@@ -622,10 +807,18 @@ def q_temperature_resample(spark, sf_dir):
     operation order, same libm in this container)."""
     from punt_spark.dataops.sampling import temperature_resample
 
-    d = _t(spark, sf_dir, "documents")
-    return temperature_resample(
-        d, "source", "doc_id", alpha=0.5, target_frac=0.5
-    ).select("doc_id", "source")
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: temperature_resample(
+            _t(spark, sf_dir, "documents"),
+            "source",
+            "doc_id",
+            alpha=0.5,
+            target_frac=0.5,
+        ).select("doc_id", "source"),
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -641,6 +834,13 @@ def q_simhash_pairs(spark, sf_dir):
     replayable because its hash is blake2b."""
     from punt_spark.dataops.dedup import simhash16_native
 
+    # NOT scoped: the 16-value-bucket band join is compute-bound (the
+    # documented quadratic), so shrinking its shuffle width was measured
+    # SLOWER (1.26 → 1.53 s) — session width + AQE stay in charge here
+    return _simhash_pairs_build(spark, sf_dir, simhash16_native)
+
+
+def _simhash_pairs_build(spark, sf_dir, simhash16_native):
     sh = simhash16_native(_t(spark, sf_dir, "documents"))
     chunks = sh.select(
         "doc_id",
@@ -687,10 +887,13 @@ def q_incremental_dedup(spark, sf_dir):
     per batch at scale — only its ~32-byte/doc fingerprint table joins."""
     from punt_spark.dataops.dedup import incremental_dedup
 
-    d = _t(spark, sf_dir, "documents")
-    batch = d.filter(F.col("doc_id") % 5 == 0)
-    hist = d.filter(F.col("doc_id") % 5 != 0)
-    return incremental_dedup(batch, hist).select("doc_id")
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        batch = d.filter(F.col("doc_id") % 5 == 0)
+        hist = d.filter(F.col("doc_id") % 5 != 0)
+        return incremental_dedup(batch, hist).select("doc_id")
+
+    return _scoped(spark, sf_dir, ("documents",), build)
 
 
 def q_ingest_dedup_fold(spark, sf_dir):
@@ -776,9 +979,13 @@ def q_trim_repeated_spans(spark, sf_dir):
     filter with DuckDB list lambdas."""
     from punt_spark.dataops.dedup import trim_repeated_spans
 
-    d = _t(spark, sf_dir, "documents")
-    return trim_repeated_spans(d, n=4, min_docs=2).select(
-        "doc_id", "trimmed_text", "n_trimmed_tokens"
+    return _scoped(
+        spark,
+        sf_dir,
+        ("documents",),
+        lambda: trim_repeated_spans(
+            _t(spark, sf_dir, "documents"), n=4, min_docs=2
+        ).select("doc_id", "trimmed_text", "n_trimmed_tokens"),
     )
 
 
@@ -811,15 +1018,20 @@ def q_validate_conversations(spark, sf_dir):
     the full index checks are pytest-pinned on synthetic transcripts."""
     from punt_spark.dataops.transcripts import validate_conversations
 
-    e = _t(spark, sf_dir, "events")
-    return validate_conversations(
-        e,
-        conv_col="user_id",
-        idx_col=None,
-        role_col="event_type",
-        text_col="props",
-        order_cols=("ts", "event_id"),
-    )
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        # spread=False: validation shuffles by conversation key first
+        e = _t(spark, sf_dir, "events", spread=False)
+        out = validate_conversations(
+            e,
+            conv_col="user_id",
+            idx_col=None,
+            role_col="event_type",
+            text_col="props",
+            order_cols=("ts", "event_id"),
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -865,9 +1077,12 @@ def q_bpe_pair_counts(spark, sf_dir):
     merge. orderBy+limit plans TakeOrderedAndProject."""
     from punt_spark.dataops.bpe import pair_counts, word_counts
 
-    d = _t(spark, sf_dir, "documents")
-    state = word_counts(d).select("cnt", F.split("w", "").alias("syms"))
-    return pair_counts(state).orderBy(F.desc("n"), "a", "b").limit(50)
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        state = word_counts(d).select("cnt", F.split("w", "").alias("syms"))
+        return pair_counts(state).orderBy(F.desc("n"), "a", "b").limit(50)
+
+    return _scoped(spark, sf_dir, ("documents",), build)
 
 
 def q_curate_corpus(spark, sf_dir):
@@ -886,57 +1101,49 @@ def q_curate_corpus(spark, sf_dir):
     bench = d.filter(F.col("doc_id") % 20 == 0)
     corpus = d.filter(F.col("doc_id") % 20 != 0)
     # This composite runs ~7 small stage jobs over a ≤5k-doc corpus; at
-    # that size the cost is pure exchange/task-scheduling overhead, so the
-    # shuffle width is pinned to the DATA (8 partitions, not the session's
-    # 32-64) and AQE is disabled for the query's scope — with a right-sized
-    # static width, AQE's per-exchange re-planning round-trips are the
-    # remaining fixed cost (measured 8.7 s → 5.4 s at sf0.1). All actions
-    # happen inside the scope (the result is localCheckpoint-ed below);
-    # confs are restored on exit. At production scale leave AQE on and
-    # size the width to the corpus — the operator itself is conf-agnostic.
-    scoped = {
-        "spark.sql.shuffle.partitions": "8",
-        "spark.sql.adaptive.enabled": "false",
-    }
-    saved = {k: spark.conf.get(k) for k in scoped}
-    for k, v in scoped.items():
-        spark.conf.set(k, v)
+    # that size the cost is pure exchange/task-scheduling overhead, so
+    # the shuffle width is pinned to the DATA and AQE is disabled for
+    # the query's scope (measured 8.7 s → 5.4 s at sf0.1 with the r6
+    # constant width; the scope now derives the width from the input
+    # bytes and no-ops entirely at production scale — see
+    # _small_input_scope). All actions happen inside the scope (the
+    # result is localCheckpoint-ed below); confs are restored on exit.
     out = None
-    try:
-        # lazy on purpose (r6): curation consumes injected pairs as ONE
-        # linear chain (semi-join id_a → semi-join id_b → project), so the
-        # LSH lineage compiles into the single near-dup/cap audit job —
-        # checkpointing it first was a whole extra job (~1.3-1.7 s of this
-        # composite's fixed cost) that materialized rows only that job
-        # read. Built from the already-loaded ``d``, not a second _t scan.
-        pairs = _minhash_pairs_from(d).select(
-            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-        )
-        out = curate_corpus(
-            corpus,
-            min_quality=0.5,
-            benchmark=bench,
-            decontam_shingle_n=5,
-            max_per_source=20,
-            near_dup_pairs=pairs,
-        )
-        removed = out["removed"].select(
-            F.col("doc_id"), F.col("reason").alias("status")
-        )
-        retained = out["retained"].select(
-            F.col("doc_id"), F.lit("retained").alias("status")
-        )
-        # materialize the (tiny) result so the stage caches can be
-        # released before returning
-        res = removed.unionByName(retained).coalesce(8).localCheckpoint()
-    finally:
-        # cache release lives in the finally: if the materialization
-        # itself fails, the persisted stage frames must not leak into
-        # the long-lived shared session
-        if out is not None:
-            out["unpersist"]()
-        for k, v in saved.items():
-            spark.conf.set(k, v)
+    with _small_input_scope(spark, sf_dir, "documents"):
+        try:
+            # lazy on purpose (r6): curation consumes injected pairs as
+            # ONE linear chain (semi-join id_a → semi-join id_b →
+            # project), so the LSH lineage compiles into the single
+            # near-dup/cap audit job — checkpointing it first was a
+            # whole extra job (~1.3-1.7 s of this composite's fixed
+            # cost) that materialized rows only that job read. Built
+            # from the already-loaded ``d``, not a second _t scan.
+            pairs = _minhash_pairs_from(d).select(
+                F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+            )
+            out = curate_corpus(
+                corpus,
+                min_quality=0.5,
+                benchmark=bench,
+                decontam_shingle_n=5,
+                max_per_source=20,
+                near_dup_pairs=pairs,
+            )
+            removed = out["removed"].select(
+                F.col("doc_id"), F.col("reason").alias("status")
+            )
+            retained = out["retained"].select(
+                F.col("doc_id"), F.lit("retained").alias("status")
+            )
+            # materialize the (tiny) result so the stage caches can be
+            # released before returning
+            res = removed.unionByName(retained).coalesce(8).localCheckpoint()
+        finally:
+            # cache release lives in the finally: if the materialization
+            # itself fails, the persisted stage frames must not leak
+            # into the long-lived shared session
+            if out is not None:
+                out["unpersist"]()
     return res
 
 
@@ -947,29 +1154,19 @@ def q_dup_clusters(spark, sf_dir):
     The oracle walks the same reachability with a recursive CTE."""
     from punt_spark.dataops.dedup import dup_clusters
 
-    # Same small-input conf scope as q_curate_corpus: the CC loop runs
-    # one job per round over a few-hundred-edge graph, where 64-wide
-    # exchanges + AQE re-planning are the whole cost (measured 2.4-2.7 s
-    # → 1.7-2.2 s at sf0.1). The loop's actions (checkpoint + converge
-    # agg per round) all run inside the scope; the tiny result is
-    # materialized before the confs are restored.
-    scoped = {
-        "spark.sql.shuffle.partitions": "8",
-        "spark.sql.adaptive.enabled": "false",
-    }
-    saved = {k: spark.conf.get(k) for k in scoped}
-    for k, v in scoped.items():
-        spark.conf.set(k, v)
-    try:
+    # Small-input conf scope (now size-derived via _small_input_scope):
+    # the CC loop runs one job per round over a few-hundred-edge graph,
+    # where wide exchanges + AQE re-planning are the whole cost. The
+    # loop's actions (checkpoint + converge agg per round) all run
+    # inside the scope; the tiny result is materialized before the
+    # confs are restored.
+    with _small_input_scope(spark, sf_dir, "documents"):
         pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         )
         res = dup_clusters(pairs).select(
             F.col("id").alias("doc_id"), F.col("cluster_id")
         ).localCheckpoint()
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
     return res
 
 
@@ -977,30 +1174,37 @@ def q_alert_actions(spark, sf_dir):
     """Alert-action rendering on the events table (action.go:105-122):
     regex match → 60s tumbling rollup → embed title with the reference's
     '(N-1 similar events)' suffix + RFC3339-Z first-event timestamp."""
-    e = _t(spark, sf_dir, "events")
-    matched = e.filter(F.col("props").rlike(r'"k": 9\d'))
-    agg = matched.groupBy(
-        F.window("ts", "60 seconds").alias("w")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("first_ts"),
-    )
-    title = F.when(
-        F.col("n_events") > 1,
-        F.concat(
-            F.lit("K9 SEEN ("),
-            (F.col("n_events") - 1).cast("string"),
-            F.lit(" similar events)"),
-        ),
-    ).otherwise(F.lit("K9 SEEN"))
-    return agg.select(
-        F.col("w.start").alias("window_start"),
-        F.col("n_events"),
-        title.alias("title"),
-        F.date_format("first_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-            "timestamp_s"
-        ),
-    )
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        # spread=False: Catalyst pushed the rlike below the spread
+        # exchange anyway (it ran on the single scan task either way),
+        # so the exchange only re-spread the filter's survivors
+        e = _t(spark, sf_dir, "events", spread=False)
+        matched = e.filter(F.col("props").rlike(r'"k": 9\d'))
+        agg = matched.groupBy(
+            F.window("ts", "60 seconds").alias("w")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+        )
+        title = F.when(
+            F.col("n_events") > 1,
+            F.concat(
+                F.lit("K9 SEEN ("),
+                (F.col("n_events") - 1).cast("string"),
+                F.lit(" similar events)"),
+            ),
+        ).otherwise(F.lit("K9 SEEN"))
+        out = agg.select(
+            F.col("w.start").alias("window_start"),
+            F.col("n_events"),
+            title.alias("title"),
+            F.date_format("first_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "timestamp_s"
+            ),
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 # --- training-data ops: embeddings ------------------------------------------
@@ -1073,13 +1277,22 @@ def q_perplexity_buckets(spark, sf_dir):
 
     from punt_spark.dataops.sampling import round_signed
 
-    d = _t(spark, sf_dir, "documents")
-    scored = with_bigram_logprob(d).withColumn(
-        "blp_r", round_signed(F.col("bigram_logprob"), 4)
-    )
-    return score_buckets(scored, "blp_r", exact=True, out="ppl_bucket").select(
-        "doc_id", "blp_r", "ppl_bucket"
-    )
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        scored = with_bigram_logprob(d).withColumn(
+            "blp_r", round_signed(F.col("bigram_logprob"), 4)
+        )
+        # score_buckets consumes its input TWICE (quantile agg broadcast
+        # + the labeling stream) — without a cut here the whole bigram-LM
+        # lineage computes once per consumer. localCheckpoint, not
+        # persist: the two consumers sit in one action, and concurrent
+        # branches race a lazily-persisted cache (CLAUDE.md).
+        scored = scored.select("doc_id", "blp_r").localCheckpoint()
+        return score_buckets(
+            scored, "blp_r", exact=True, out="ppl_bucket"
+        ).select("doc_id", "blp_r", "ppl_bucket")
+
+    return _scoped(spark, sf_dir, ("documents",), build)
 
 
 def q_dsir_select(spark, sf_dir):
@@ -1092,11 +1305,14 @@ def q_dsir_select(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     from punt_spark.dataops.sampling import round_signed
 
-    target = d.filter(F.col("source") == "src0")
-    raw = d.filter(F.col("source") != "src0")
-    return dsir_select(raw, target, k=100, n_buckets=64).select(
-        "doc_id", round_signed(F.col("logw"), 4).alias("logw_r"), "key_r"
-    )
+    def build():
+        target = d.filter(F.col("source") == "src0")
+        raw = d.filter(F.col("source") != "src0")
+        return dsir_select(raw, target, k=100, n_buckets=64).select(
+            "doc_id", round_signed(F.col("logw"), 4).alias("logw_r"), "key_r"
+        )
+
+    return _scoped(spark, sf_dir, ("documents",), build)
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -1107,9 +1323,13 @@ def q_semantic_dedup(spark, sf_dir):
     per-row decision frame (cluster, centroid sim, is_dup)."""
     from punt_spark.dataops.similarity import semantic_dedup
 
-    e = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, n_clusters=8, threshold=0.30).select(
-        "vec_id", "cluster", "centroid_sim", "is_dup"
+    return _scoped(
+        spark,
+        sf_dir,
+        ("embeddings",),
+        lambda: semantic_dedup(
+            _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.30
+        ).select("vec_id", "cluster", "centroid_sim", "is_dup"),
     )
 
 
@@ -1149,14 +1369,7 @@ def q_dedup_keep_best(spark, sf_dir):
     q_dup_clusters (the CC loop is a small-graph composite)."""
     from punt_spark.dataops.dedup import cluster_winners, dup_clusters
 
-    scoped = {
-        "spark.sql.shuffle.partitions": "8",
-        "spark.sql.adaptive.enabled": "false",
-    }
-    saved = {k: spark.conf.get(k) for k in scoped}
-    for k, v in scoped.items():
-        spark.conf.set(k, v)
-    try:
+    with _small_input_scope(spark, sf_dir, "documents"):
         pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
             F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
         )
@@ -1174,9 +1387,6 @@ def q_dedup_keep_best(spark, sf_dir):
             )
             .localCheckpoint()
         )
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
     return res
 
 
@@ -1189,16 +1399,22 @@ def q_turn_boilerplate(spark, sf_dir):
     the kept id, copy count, and conversation spread."""
     from punt_spark.dataops.transcripts import boilerplate_turn_stats
 
-    e = _t(spark, sf_dir, "events")
-    turns = e.select(
-        "event_id",
-        "ts",
-        F.col("user_id").alias("conv_id"),
-        F.col("props").alias("text"),
-    )
-    return boilerplate_turn_stats(turns, id_col="event_id").select(
-        "content_h", "keep_event_id", "n_copies", "n_convs"
-    )
+    with _small_input_scope(spark, sf_dir, "events") as small:
+        # spread stays on: the md5 content hash is per-row map work that
+        # feeds the combiner BEFORE the content-key exchange
+        e = _t(spark, sf_dir, "events")
+        turns = e.select(
+            "event_id",
+            "ts",
+            F.col("user_id").alias("conv_id"),
+            F.col("props").alias("text"),
+        )
+        out = boilerplate_turn_stats(turns, id_col="event_id").select(
+            "content_h", "keep_event_id", "n_copies", "n_convs"
+        )
+        if small:
+            out = out.localCheckpoint()
+    return out
 
 
 def q_contamination_score(spark, sf_dir):
@@ -1210,12 +1426,15 @@ def q_contamination_score(spark, sf_dir):
     docs report 0 / 0.0."""
     from punt_spark.dataops.dedup import contamination_scores
 
-    d = _t(spark, sf_dir, "documents")
-    bench = d.filter(F.col("doc_id") % 20 == 0)
-    corpus = d.filter(F.col("doc_id") % 20 != 0)
-    return contamination_scores(corpus, bench, shingle_n=5).select(
-        "doc_id", "n_shingles", "n_contaminated", "contamination_frac"
-    )
+    def build():
+        d = _t(spark, sf_dir, "documents")
+        bench = d.filter(F.col("doc_id") % 20 == 0)
+        corpus = d.filter(F.col("doc_id") % 20 != 0)
+        return contamination_scores(corpus, bench, shingle_n=5).select(
+            "doc_id", "n_shingles", "n_contaminated", "contamination_frac"
+        )
+
+    return _scoped(spark, sf_dir, ("documents",), build)
 
 
 def q_cross_perplexity(spark, sf_dir):
@@ -1229,11 +1448,15 @@ def q_cross_perplexity(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     from punt_spark.dataops.sampling import round_signed
 
-    train = d.filter(F.col("source") == "src0")
-    raw = d.filter(F.col("source") != "src0")
-    return with_bigram_logprob(raw, train_df=train).select(
-        "doc_id", round_signed(F.col("bigram_logprob"), 4).alias("xblp_r")
-    )
+    def build():
+        train = d.filter(F.col("source") == "src0")
+        raw = d.filter(F.col("source") != "src0")
+        return with_bigram_logprob(raw, train_df=train).select(
+            "doc_id",
+            round_signed(F.col("bigram_logprob"), 4).alias("xblp_r"),
+        )
+
+    return _scoped(spark, sf_dir, ("documents",), build)
 
 
 def q_gopher_repetition(spark, sf_dir):
@@ -1267,11 +1490,14 @@ def q_dup_source_matrix(spark, sf_dir):
     side's source, counted per unordered source pair."""
     from punt_spark.dataops.dedup import dup_source_matrix
 
-    pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
-    )
-    d = _t(spark, sf_dir, "documents")
-    return dup_source_matrix(pairs, d)
+    def build():
+        pairs = q_dedup_minhash_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
+        d = _t(spark, sf_dir, "documents")
+        return dup_source_matrix(pairs, d)
+
+    return _scoped(spark, sf_dir, ("documents",), build)
 
 
 # ---------------------------------------------------------------------------
