@@ -33,7 +33,7 @@ CATCHALL_PREFIX = "evt-"
 
 
 def _t(
-    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | int = True
 ) -> DataFrame:
     # Pin UTC so date_format matches DuckDB's tz-naive strftime regardless
     # of the driver session's zone.
@@ -48,8 +48,15 @@ def _t(
     # shuffle anyway (a window/groupBy repartitions by its own key):
     # there the round-robin exchange moves every input byte through one
     # map task for nothing — measured 1.20 s → 0.28 s on route_counts.
+    # Under an active _small_input_scope the spread width follows the
+    # scoped shuffle width (mismatched 32-wide map stages over 8-wide
+    # shuffles measured ~20-30% slower on every scoped documents query);
+    # an int ``spread`` pins it explicitly.
     if spread:
-        par = spark.sparkContext.defaultParallelism
+        if spread is True:
+            par = _scope_width_stack[-1] or spark.sparkContext.defaultParallelism
+        else:
+            par = int(spread)
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
     return df
@@ -69,6 +76,9 @@ def _t(
 # (localCheckpoint) when `small` is True so the actions actually run
 # under the scoped conf; results are corpus-bounded by construction.
 _SCOPE_BYTES_PER_PART = 8 << 20
+# active-scope width stack: _t reads the top so input spreads built
+# INSIDE a scope match the scoped shuffle width (None = no scope)
+_scope_width_stack: list = [None]
 
 
 @contextmanager
@@ -80,7 +90,7 @@ def _small_input_scope(spark: SparkSession, sf_dir: str, *tables: str):
     default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(8, nbytes // _SCOPE_BYTES_PER_PART)
     if width >= default_width:
-        yield False
+        yield None
         return
     scoped = {
         "spark.sql.shuffle.partitions": str(width),
@@ -89,19 +99,23 @@ def _small_input_scope(spark: SparkSession, sf_dir: str, *tables: str):
     saved = {k: spark.conf.get(k) for k in scoped}
     for k, v in scoped.items():
         spark.conf.set(k, v)
+    _scope_width_stack.append(width)
     try:
-        yield True
+        yield width
     finally:
+        _scope_width_stack.pop()
         for k, v in saved.items():
             spark.conf.set(k, v)
 
 
 def _scoped(spark, sf_dir, tables, build):
     """Run ``build()`` under ``_small_input_scope`` and materialize the
-    result inside the scope (no-op passthrough at production widths)."""
-    with _small_input_scope(spark, sf_dir, *tables) as small:
+    result inside the scope (no-op passthrough at production widths).
+    ``_t`` reads made inside ``build`` pick the scoped spread width up
+    from the scope stack automatically."""
+    with _small_input_scope(spark, sf_dir, *tables) as width:
         out = build()
-        if small:
+        if width:
             out = out.localCheckpoint()
     return out
 
@@ -1097,9 +1111,6 @@ def q_curate_corpus(spark, sf_dir):
     replay it — the production xxhash64 family is pytest-pinned instead."""
     from punt_spark.dataops.curation import curate_corpus
 
-    d = _t(spark, sf_dir, "documents")
-    bench = d.filter(F.col("doc_id") % 20 == 0)
-    corpus = d.filter(F.col("doc_id") % 20 != 0)
     # This composite runs ~7 small stage jobs over a ≤5k-doc corpus; at
     # that size the cost is pure exchange/task-scheduling overhead, so
     # the shuffle width is pinned to the DATA and AQE is disabled for
@@ -1110,6 +1121,9 @@ def q_curate_corpus(spark, sf_dir):
     # result is localCheckpoint-ed below); confs are restored on exit.
     out = None
     with _small_input_scope(spark, sf_dir, "documents"):
+        d = _t(spark, sf_dir, "documents")
+        bench = d.filter(F.col("doc_id") % 20 == 0)
+        corpus = d.filter(F.col("doc_id") % 20 != 0)
         try:
             # lazy on purpose (r6): curation consumes injected pairs as
             # ONE linear chain (semi-join id_a → semi-join id_b →
@@ -1302,10 +1316,10 @@ def q_dsir_select(spark, sf_dir):
     buckets keeps the smoothed counts dense on the 500-doc fixture."""
     from punt_spark.dataops.dsir import dsir_select
 
-    d = _t(spark, sf_dir, "documents")
     from punt_spark.dataops.sampling import round_signed
 
     def build():
+        d = _t(spark, sf_dir, "documents")
         target = d.filter(F.col("source") == "src0")
         raw = d.filter(F.col("source") != "src0")
         return dsir_select(raw, target, k=100, n_buckets=64).select(
@@ -1327,8 +1341,19 @@ def q_semantic_dedup(spark, sf_dir):
         spark,
         sf_dir,
         ("embeddings",),
+        # spread pinned to full parallelism: the k-centroid cosine
+        # assignment is real per-row compute (one codegen'd lambda over
+        # k×d doubles per vector) — narrowing the map stages to the
+        # scope width measured 1.36 → 2.05 s
         lambda: semantic_dedup(
-            _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.30
+            _t(
+                spark,
+                sf_dir,
+                "embeddings",
+                spread=spark.sparkContext.defaultParallelism,
+            ),
+            n_clusters=8,
+            threshold=0.30,
         ).select("vec_id", "cluster", "centroid_sim", "is_dup"),
     )
 
@@ -1445,10 +1470,10 @@ def q_cross_perplexity(spark, sf_dir):
     variant is the `bigram_logprob` gate."""
     from punt_spark.dataops.textstats import with_bigram_logprob
 
-    d = _t(spark, sf_dir, "documents")
     from punt_spark.dataops.sampling import round_signed
 
     def build():
+        d = _t(spark, sf_dir, "documents")
         train = d.filter(F.col("source") == "src0")
         raw = d.filter(F.col("source") != "src0")
         return with_bigram_logprob(raw, train_df=train).select(

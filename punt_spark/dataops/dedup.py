@@ -849,6 +849,7 @@ def dup_clusters(
     max_iter: int = 50,
     ptr_jump_after: int = 2,
     checkpoint_dir: str | None = None,
+    small_graph_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over the duplicate-pair graph → (id, cluster_id)
     with cluster_id = min id in the component.
@@ -886,6 +887,16 @@ def dup_clusters(
     module ends with ``.distinct()`` — so the symmetrized edge set skips its
     own dedup shuffle. Duplicate edges would only add join rows under the
     per-node ``min()``, never corrupt the labels.
+
+    Small-graph fast path: after the pair set is checkpointed, a
+    ``limit(small_graph_edges + 1)`` probe (cheap at any scale — it stops
+    reading at the threshold) decides whether the whole edge set fits the
+    bound; if so the components are computed driver-side with union-find
+    in one pass — identical (id, min-id) labels, zero per-round Spark
+    jobs. Near-dup edge sets are O(duplicates), not O(corpus), so this
+    is the common case even for large corpora; past the bound the
+    distributed loop runs unchanged. ``small_graph_edges=0`` disables
+    the fast path (used by tests to pin the two paths equal).
     """
     sc = pairs.sparkSession.sparkContext
     prev_ckpt_dir = None
@@ -904,13 +915,61 @@ def dup_clusters(
             return df.localCheckpoint(eager=eager)
 
     try:
-        return _dup_clusters_loop(_ckpt, pairs, max_iter, ptr_jump_after)
+        return _dup_clusters_loop(
+            _ckpt, pairs, max_iter, ptr_jump_after, small_graph_edges
+        )
     finally:
         if prev_ckpt_dir is not None:
             sc.setCheckpointDir(prev_ckpt_dir)
 
 
-def _dup_clusters_loop(_ckpt, pairs, max_iter, ptr_jump_after):
+def _dup_clusters_local(spark, edges, src_type) -> DataFrame:
+    """Driver-side union-find over a bounded edge list — same
+    (id, cluster_id = min id of component) contract as the distributed
+    loop, exact for any id type with a total order."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    members: dict = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    rows = []
+    for ns in members.values():
+        m = min(ns)
+        rows.extend((n, m) for n in ns)
+    # nullable=True to byte-match the distributed path's schema (labels
+    # inherit the pair frame's nullability)
+    schema = StructType(
+        [
+            StructField("id", src_type, True),
+            StructField("cluster_id", src_type, True),
+        ]
+    )
+    # pandas → Arrow path (session enables arrow.pyspark); a plain list
+    # would take the pickled-RDD path and cost a Python job
+    pdf = pd.DataFrame(rows, columns=["id", "cluster_id"])
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def _dup_clusters_loop(
+    _ckpt, pairs, max_iter, ptr_jump_after, small_graph_edges=0
+):
     # Materialize the PAIRS once, then derive both edge directions from the
     # checkpointed blocks: symmetrizing first would put the full upstream
     # pair-generation lineage (shingle → signature → band join for the
@@ -921,6 +980,12 @@ def _dup_clusters_loop(_ckpt, pairs, max_iter, ptr_jump_after):
     half = _ckpt(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
+    if small_graph_edges > 0:
+        probe = half.limit(small_graph_edges + 1).collect()
+        if len(probe) <= small_graph_edges:
+            return _dup_clusters_local(
+                pairs.sparkSession, probe, half.schema["src"].dataType
+            )
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

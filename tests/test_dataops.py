@@ -310,11 +310,44 @@ def test_dup_clusters_long_chain_and_convergence_guard(spark):
 
     chain = [(i, i + 1) for i in range(29)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
-    labels = dedup.dup_clusters(pairs).collect()
+    # small_graph_edges=0 pins the DISTRIBUTED loop (the default would
+    # take the driver-side union-find fast path for 29 edges)
+    labels = dedup.dup_clusters(pairs, small_graph_edges=0).collect()
     assert {r["cluster_id"] for r in labels} == {0}
     assert len(labels) == 30
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dup_clusters(pairs, max_iter=5)
+        dedup.dup_clusters(pairs, max_iter=5, small_graph_edges=0)
+
+
+def test_dup_clusters_small_graph_path_matches_distributed(spark):
+    """The driver-side union-find fast path must emit exactly the
+    distributed loop's (id, cluster_id = min id) labels — chain,
+    triangle, isolated pair, and a mixed component planted."""
+    edges = (
+        [(i, i + 1) for i in range(12)]  # chain 0..12
+        + [(100, 101), (101, 102), (100, 102)]  # triangle
+        + [(200, 201)]  # isolated pair
+        + [(300, 302), (301, 302), (303, 300)]  # star-ish
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    dist = {
+        (r["id"], r["cluster_id"])
+        for r in dedup.dup_clusters(pairs, small_graph_edges=0).collect()
+    }
+    assert fast == dist
+    assert {c for _, c in fast} == {0, 100, 200, 300}
+    # schema parity (the driver gate hashes dtypes too)
+    assert (
+        dedup.dup_clusters(pairs).schema
+        == dedup.dup_clusters(pairs, small_graph_edges=0).schema
+    )
+    # empty edge set → empty frame, same schema, no crash
+    empty = pairs.filter("id_a < 0")
+    assert dedup.dup_clusters(empty).count() == 0
 
 
 def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
@@ -327,7 +360,9 @@ def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     got = {
         r["id"]: r["cluster_id"]
-        for r in dedup.dup_clusters(pairs, checkpoint_dir=ckpt).collect()
+        for r in dedup.dup_clusters(
+            pairs, checkpoint_dir=ckpt, small_graph_edges=0
+        ).collect()
     }
     want = {
         r["id"]: r["cluster_id"] for r in dedup.dup_clusters(pairs).collect()
