@@ -120,6 +120,15 @@ def _scoped(spark, sf_dir, tables, build):
     return out
 
 
+def _scratch_dir() -> str | None:
+    """tmpfs for the ingest folds' scratch snapshot tables when present:
+    their 3-batch data+index commits are pure intermediate state deleted
+    before the query returns, and the sandbox's one shared virtio disk
+    injects multi-minute writeback stalls (BENCH/BASELINE.md) that have
+    nothing to do with the operator under test. None → system default."""
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+
+
 def _values_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     """Tiny literal dimension as a VALUES LocalRelation. createDataFrame
     over a Python list plans Scan ExistingRDD (applySchemaToPythonRDD) —
@@ -855,7 +864,12 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def _simhash_pairs_build(spark, sf_dir, simhash16_native):
-    sh = simhash16_native(_t(spark, sf_dir, "documents"))
+    # materialize the (doc_id, simhash16) frame once: both sides of the
+    # band self-join otherwise recompute the whole tokenize+vote
+    # signature subtree (no subplan sharing across a self-join) — the
+    # frame is 16 bytes/doc, and this is the semantics-gate variant, not
+    # the 64-bit scale path
+    sh = simhash16_native(_t(spark, sf_dir, "documents")).localCheckpoint()
     chunks = sh.select(
         "doc_id",
         "simhash16",
@@ -926,20 +940,23 @@ def q_ingest_dedup_fold(spark, sf_dir):
     from punt_spark.dataops.ingest import DedupIngestor
     from punt_spark.sink import SnapshotTable
 
-    d = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="punt_ingest_fold_")
+    tmp = tempfile.mkdtemp(prefix="punt_ingest_fold_", dir=_scratch_dir())
     try:
-        ing = DedupIngestor(
-            SnapshotTable(os.path.join(tmp, "data")),
-            SnapshotTable(os.path.join(tmp, "index")),
-        )
-        for b in range(3):
-            ing.ingest(d.filter(F.col("doc_id") % 3 == b), f"fold-{b}")
-        out = ing.data.read(spark).select(
-            "doc_id", (F.col("doc_id") % 3).alias("batch_ord")
-        )
-        # pin the rows before the backing temp tables are removed
-        out = out.localCheckpoint()
+        # the fold's ~14 batch-commit jobs all run inside the scope —
+        # each would otherwise pay wide exchanges on a 1/3-batch slice
+        with _small_input_scope(spark, sf_dir, "documents"):
+            d = _t(spark, sf_dir, "documents")
+            ing = DedupIngestor(
+                SnapshotTable(os.path.join(tmp, "data")),
+                SnapshotTable(os.path.join(tmp, "index")),
+            )
+            for b in range(3):
+                ing.ingest(d.filter(F.col("doc_id") % 3 == b), f"fold-{b}")
+            out = ing.data.read(spark).select(
+                "doc_id", (F.col("doc_id") % 3).alias("batch_ord")
+            )
+            # pin the rows before the backing temp tables are removed
+            out = out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -961,23 +978,24 @@ def q_ingest_neardup_fold(spark, sf_dir):
     from punt_spark.dataops.ingest import NearDupIngestor
     from punt_spark.sink import SnapshotTable
 
-    d = _t(spark, sf_dir, "documents")
-    tmp = tempfile.mkdtemp(prefix="punt_neardup_fold_")
+    tmp = tempfile.mkdtemp(prefix="punt_neardup_fold_", dir=_scratch_dir())
     try:
-        ing = NearDupIngestor(
-            SnapshotTable(os.path.join(tmp, "data")),
-            SnapshotTable(os.path.join(tmp, "index")),
-            num_hashes=4,
-            bands=2,
-            threshold=0.5,
-            sig_mode="md5",
-        )
-        for b in range(3):
-            ing.ingest(d.filter(F.col("doc_id") % 3 == b), f"fold-{b}")
-        out = ing.data.read(spark).select(
-            "doc_id", (F.col("doc_id") % 3).alias("batch_ord")
-        )
-        out = out.localCheckpoint()
+        with _small_input_scope(spark, sf_dir, "documents"):
+            d = _t(spark, sf_dir, "documents")
+            ing = NearDupIngestor(
+                SnapshotTable(os.path.join(tmp, "data")),
+                SnapshotTable(os.path.join(tmp, "index")),
+                num_hashes=4,
+                bands=2,
+                threshold=0.5,
+                sig_mode="md5",
+            )
+            for b in range(3):
+                ing.ingest(d.filter(F.col("doc_id") % 3 == b), f"fold-{b}")
+            out = ing.data.read(spark).select(
+                "doc_id", (F.col("doc_id") % 3).alias("batch_ord")
+            )
+            out = out.localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -1341,19 +1359,8 @@ def q_semantic_dedup(spark, sf_dir):
         spark,
         sf_dir,
         ("embeddings",),
-        # spread pinned to full parallelism: the k-centroid cosine
-        # assignment is real per-row compute (one codegen'd lambda over
-        # k×d doubles per vector) — narrowing the map stages to the
-        # scope width measured 1.36 → 2.05 s
         lambda: semantic_dedup(
-            _t(
-                spark,
-                sf_dir,
-                "embeddings",
-                spread=spark.sparkContext.defaultParallelism,
-            ),
-            n_clusters=8,
-            threshold=0.30,
+            _t(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.30
         ).select("vec_id", "cluster", "centroid_sim", "is_dup"),
     )
 

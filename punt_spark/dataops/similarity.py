@@ -663,6 +663,16 @@ def semantic_dedup(
     # materialize once: the census, the star side, and both pair-join
     # sides all consume it (the repo's persist-at-fan-out rule)
     assigned = assigned.localCheckpoint()
+    # downstream of the materialized boundary, match the session shuffle
+    # width: the assignment wants full map parallelism, but every later
+    # stage (census agg, pair joins, final label join) re-reads the
+    # checkpointed blocks — running them wider than the shuffle width
+    # just multiplies task overhead (narrow coalesce, no recompute)
+    _w = int(
+        vectors.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if assigned.rdd.getNumPartitions() > _w:
+        assigned = assigned.coalesce(_w)
 
     cool, hot = bucket_census(
         assigned,
