@@ -269,7 +269,8 @@ class NearDupIngestor(_CommitProtocolIngestor):
     ):
         if num_hashes % bands:
             raise ValueError(
-                f"num_hashes ({num_hashes}) must divide into bands ({bands})"
+                f"bands ({bands}) must evenly divide num_hashes"
+                f" ({num_hashes})"
             )
         if sig_mode not in ("xxhash", "md5"):
             raise ValueError(f"unknown sig_mode {sig_mode!r}")

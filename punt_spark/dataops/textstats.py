@@ -212,10 +212,11 @@ GOPHER_DUP_NGRAM_THRESHOLDS = {
 }
 
 
-# Per-row crossover between the direct O(G²) count pass and the
-# O(G log G) sorted-runs pass in gopher_repetition: below ~G=128 the
-# allocation-free compares win, above it the sort does (measured 50-token
-# docs 0.83 vs 1.02 s and 1000-token docs 4.1 vs 13.0 s — see docstring).
+# Token-count crossover between gopher_repetition's direct O(G²) count
+# branch and its O(G log G) sorted-runs branch: below ~128 the
+# allocation-free compares win, above it the sort does (measured
+# 50-token docs 0.83 vs 1.02 s and 1000-token docs 13.0 vs 4.1 s — see
+# the docstring).
 _GOPHER_SORT_CUTOVER = 128
 
 
@@ -242,18 +243,22 @@ def gopher_repetition(
     scope note as gopher_rules).
 
     Shape at 100 TB: everything is per-row SQL-lambda work — zero
-    shuffles. The within-row gram counting is a per-row COST HYBRID,
-    branching on the gram count (identical outputs either way): short
-    rows (≤ ``_GOPHER_SORT_CUTOVER`` grams) keep the direct
-    ``filter``-per-position count — O(G²) compares but no allocation —
-    while longer rows switch to ONE ``array_sort`` of (gram, position)
-    structs per n, reading counts and duplicate flags off adjacent
-    run elements in O(G log G). Measured at the cutover's two sides:
-    ~50-token docs 0.83 s (sort-always read 1.02 s) and 1000-token docs
-    4.1 s (count-always read 13.0 s) on the sf0.1 fixture shapes — the
-    r6 count-only formulation was the documented wall-clock cliff
-    toward ``max_tokens``-length rows (ADVICE r6). The dup coverage
-    stays O(T·n); ``max_tokens`` still truncates pathological rows (the
+    shuffles. The within-row gram counting is a COST HYBRID split at
+    the PLAN level (identical outputs either way): rows with ≤
+    ``_GOPHER_SORT_CUTOVER`` tokens go through the direct
+    ``filter``-per-position count branch — O(G²) compares but no
+    allocation, fastest for short docs — while longer rows take a
+    branch that does ONE ``array_sort`` of (gram, position) structs per
+    n and reads counts and duplicate flags off adjacent run elements in
+    O(G log G). The two branches are separate filters unioned back
+    together (NOT one per-row CASE: carrying both expression trees in
+    every column measured +0.4 s analysis/codegen on the short-doc
+    fixture), so each branch's plan is exactly one formulation.
+    Measured: ~50-token docs 0.83 s count-only vs 1.02 s sort-only;
+    1000-token docs 13.0 s count-only vs 4.1 s sort-only — the r6
+    count-only formulation was the documented wall-clock cliff toward
+    ``max_tokens``-length rows (ADVICE r6). The dup coverage stays
+    O(T·n); ``max_tokens`` still truncates pathological rows (the
     standard quality-filter guard; signals are then over the prefix).
     For corpora where full-document coverage matters at book length,
     the linear alternative is the explode → per-(doc, gram) count
@@ -271,122 +276,143 @@ def gopher_repetition(
         f"slice(filter(split(lower(trim({text_col})), '\\\\s+'),"
         f" t -> t != ''), 1, {max_tokens})"
     )
-    out = df.withColumn("__rt", F.expr(toks)).withColumn(
-        "__rl", F.expr("transform(__rt, t -> length(t))")
-    ).withColumn(
-        "__rtotal", F.expr("aggregate(__rl, 0, (a, x) -> a + x)")
-    )
     all_ns = sorted(set(top_ns) | set(dup_ns))
-    small = f"size(__g{{n}}) <= {_GOPHER_SORT_CUTOVER}"
-    for n in all_ns:
-        out = out.withColumn(
-            f"__g{n}",
-            F.expr(
-                f"CASE WHEN size(__rt) >= {n} THEN"
-                f" transform(sequence(1, size(__rt) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(__rt, i, {n})))"
-                " ELSE array() END"
-            ),
+
+    def signals(frame: DataFrame, use_sort: bool) -> DataFrame:
+        out = frame.withColumn("__rt", F.expr(toks)).withColumn(
+            "__rl", F.expr("transform(__rt, t -> length(t))")
         ).withColumn(
-            # SHORT rows: direct per-position occurrence counts (O(G²)
-            # compares, zero allocation — fastest under the cutover)
-            f"__c{n}",
-            F.expr(
-                f"CASE WHEN {small.format(n=n)} THEN transform(__g{n},"
-                f" x -> size(filter(__g{n}, h -> h = x)))"
-                " ELSE array() END"
-            ),
-        ).withColumn(
-            # LONG rows: ONE sort of (gram, original position) structs —
-            # runs of equal grams are adjacent, so counts and duplicate
-            # flags read off neighbors in O(G log G). try_element_at is
-            # the ANSI-safe neighbor access (out-of-range → NULL, and
-            # greatest() keeps the index ≥ 1 even on the unevaluated
-            # side of a non-short-circuit AND).
-            f"__spp{n}",
-            F.expr(
-                f"CASE WHEN {small.format(n=n)} THEN"
-                " CAST(array() AS array<struct<g:string,p:int>>)"
-                f" ELSE array_sort(transform(__g{n},"
-                " (x, i) -> struct(x AS g, i AS p))) END"
-            ),
+            "__rtotal", F.expr("aggregate(__rl, 0, (a, x) -> a + x)")
         )
-    cols = ["__rt", "__rl", "__rtotal"] + [
-        f"__{p}{n}" for n in all_ns for p in ("g", "c", "spp")
-    ]
-    flags = []
-    for n in top_ns:
-        # run heads: 0-based sorted positions whose gram differs from the
-        # previous element's (empty for short rows — unused there)
-        heads = (
-            f"filter(transform(__spp{n}, (s, k) -> CASE WHEN k = 0"
-            f" OR s.g != try_element_at(__spp{n}, greatest(k, 1)).g"
-            " THEN k ELSE -1 END), x -> x >= 0)"
-        )
-        out = out.withColumn(f"__h{n}", F.expr(heads))
-        cols.append(f"__h{n}")
-        # bigint arithmetic: int32 would ANSI-overflow-kill the task at
-        # count·10⁶ + len ≥ 2³¹ (a ~100M-char gram at count 2048 — absurd
-        # but a crash, not a wrong answer, so cheap to rule out).
-        # Long branch: max over RUNS of count·10⁶+len equals the short
-        # branch's max over positions — every position carries its run's
-        # (count, len).
-        bnd = f"concat(__h{n}, array(size(__spp{n})))"
-        code = (
-            f"CASE WHEN {small.format(n=n)} THEN"
-            f" array_max(zip_with(__c{n}, __g{n},"
-            " (c, x) -> cast(c AS bigint) * 1000000 + length(x)))"
-            f" ELSE array_max(zip_with(slice({bnd}, 1, size(__h{n})),"
-            f" slice({bnd}, 2, size(__h{n})),"
-            f" (a, b) -> cast(b - a AS bigint) * 1000000"
-            f" + length(try_element_at(__spp{n}, a + 1).g))) END"
-        )
-        frac = (
-            f"CASE WHEN size(__g{n}) > 0 AND __rtotal > 0 THEN"
-            f" round(CAST(({code} div 1000000)"
-            f" * (({code}) % 1000000 - {n - 1}) AS DOUBLE)"
-            " / __rtotal, 4) ELSE 0.0 END"
-        )
-        name = f"top_{n}gram_char_frac"
-        out = out.withColumn(name, F.expr(frac))
-        flags.append(F.col(name) <= top_thresholds[n])
-    for n in dup_ns:
-        # duplicate flag per gram position = its gram occurs ≥ 2 times.
-        # Short rows read the counts; long rows use sorted adjacency
-        # (count ≥ 2 ⇔ an equal-gram neighbor exists) scattered back to
-        # original positions via a second (position, flag) sort —
-        # identical flags either way.
-        fcol = (
-            f"CASE WHEN {small.format(n=n)} THEN transform(__c{n},"
-            " c -> CASE WHEN c >= 2 THEN 1 ELSE 0 END)"
-            f" ELSE transform(array_sort(transform(__spp{n},"
-            " (s, k) -> struct(s.p AS p, CASE WHEN"
-            f" (k > 0 AND s.g = try_element_at(__spp{n}, greatest(k, 1)).g)"
-            f" OR s.g = try_element_at(__spp{n}, k + 2).g"
-            " THEN 1 ELSE 0 END AS f))), s -> s.f) END"
-        )
-        out = out.withColumn(f"__f{n}", F.expr(fcol))
-        cols.append(f"__f{n}")
-        covered = (
-            "aggregate(transform(sequence(1, size(__rt)), j ->"
-            f" CASE WHEN aggregate(slice(__f{n},"
-            f" greatest(1, j - {n - 1}),"
-            f" least(j, size(__f{n})) - greatest(1, j - {n - 1}) + 1),"
-            " 0, (b, y) -> b + y) > 0"
-            " THEN element_at(__rl, j) ELSE 0 END), 0, (a, x) -> a + x)"
-        )
-        frac = (
-            f"CASE WHEN size(__g{n}) > 0 AND __rtotal > 0 THEN"
-            f" round(CAST({covered} AS DOUBLE) / __rtotal, 4)"
-            " ELSE 0.0 END"
-        )
-        name = f"dup_{n}gram_char_frac"
-        out = out.withColumn(name, F.expr(frac))
-        flags.append(F.col(name) <= dup_thresholds[n])
-    gate = flags[0]
-    for fl in flags[1:]:
-        gate = gate & fl
-    return out.withColumn("repetition_pass", gate).drop(*cols)
+        cols = ["__rt", "__rl", "__rtotal"]
+        for n in all_ns:
+            out = out.withColumn(
+                f"__g{n}",
+                F.expr(
+                    f"CASE WHEN size(__rt) >= {n} THEN"
+                    f" transform(sequence(1, size(__rt) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(__rt, i, {n})))"
+                    " ELSE array() END"
+                ),
+            )
+            cols.append(f"__g{n}")
+            if use_sort:
+                # ONE sort of (gram, original position) structs — runs
+                # of equal grams are adjacent, so counts and duplicate
+                # flags read off neighbors in O(G log G).
+                # try_element_at is the ANSI-safe neighbor access
+                # (out-of-range → NULL, and greatest() keeps the index
+                # ≥ 1 even on the unevaluated side of a
+                # non-short-circuit AND).
+                out = out.withColumn(
+                    f"__spp{n}",
+                    F.expr(
+                        f"array_sort(transform(__g{n},"
+                        " (x, i) -> struct(x AS g, i AS p)))"
+                    ),
+                )
+                cols.append(f"__spp{n}")
+            else:
+                # direct per-position occurrence counts: O(G²) compares
+                # but zero allocation — fastest under the cutover
+                out = out.withColumn(
+                    f"__c{n}",
+                    F.expr(
+                        f"transform(__g{n},"
+                        f" x -> size(filter(__g{n}, h -> h = x)))"
+                    ),
+                )
+                cols.append(f"__c{n}")
+        flags = []
+        for n in top_ns:
+            # bigint arithmetic: int32 would ANSI-overflow-kill the
+            # task at count·10⁶ + len ≥ 2³¹ (a ~100M-char gram at count
+            # 2048 — absurd but a crash, not a wrong answer, so cheap
+            # to rule out). Sort branch: max over RUNS of count·10⁶+len
+            # equals the count branch's max over positions — every
+            # position carries its run's (count, len).
+            if use_sort:
+                heads = (
+                    f"filter(transform(__spp{n}, (s, k) -> CASE WHEN"
+                    " k = 0 OR s.g !="
+                    f" try_element_at(__spp{n}, greatest(k, 1)).g"
+                    " THEN k ELSE -1 END), x -> x >= 0)"
+                )
+                out = out.withColumn(f"__h{n}", F.expr(heads))
+                cols.append(f"__h{n}")
+                bnd = f"concat(__h{n}, array(size(__spp{n})))"
+                code = (
+                    f"array_max(zip_with(slice({bnd}, 1, size(__h{n})),"
+                    f" slice({bnd}, 2, size(__h{n})),"
+                    f" (a, b) -> cast(b - a AS bigint) * 1000000"
+                    f" + length(try_element_at(__spp{n}, a + 1).g)))"
+                )
+            else:
+                code = (
+                    f"array_max(zip_with(__c{n}, __g{n},"
+                    " (c, x) -> cast(c AS bigint) * 1000000 + length(x)))"
+                )
+            frac = (
+                f"CASE WHEN size(__g{n}) > 0 AND __rtotal > 0 THEN"
+                f" round(CAST(({code} div 1000000)"
+                f" * (({code}) % 1000000 - {n - 1}) AS DOUBLE)"
+                " / __rtotal, 4) ELSE 0.0 END"
+            )
+            name = f"top_{n}gram_char_frac"
+            out = out.withColumn(name, F.expr(frac))
+            flags.append(F.col(name) <= top_thresholds[n])
+        for n in dup_ns:
+            # duplicate flag per gram position = its gram occurs ≥ 2
+            # times: the count branch reads the counts; the sort branch
+            # uses sorted adjacency (count ≥ 2 ⇔ an equal-gram neighbor
+            # exists) scattered back to original positions via a second
+            # (position, flag) sort — identical flags either way.
+            if use_sort:
+                fcol = (
+                    f"transform(array_sort(transform(__spp{n},"
+                    " (s, k) -> struct(s.p AS p, CASE WHEN"
+                    " (k > 0 AND s.g ="
+                    f" try_element_at(__spp{n}, greatest(k, 1)).g)"
+                    f" OR s.g = try_element_at(__spp{n}, k + 2).g"
+                    " THEN 1 ELSE 0 END AS f))), s -> s.f)"
+                )
+            else:
+                fcol = (
+                    f"transform(__c{n},"
+                    " c -> CASE WHEN c >= 2 THEN 1 ELSE 0 END)"
+                )
+            out = out.withColumn(f"__f{n}", F.expr(fcol))
+            cols.append(f"__f{n}")
+            covered = (
+                "aggregate(transform(sequence(1, size(__rt)), j ->"
+                f" CASE WHEN aggregate(slice(__f{n},"
+                f" greatest(1, j - {n - 1}),"
+                f" least(j, size(__f{n})) - greatest(1, j - {n - 1}) + 1),"
+                " 0, (b, y) -> b + y) > 0"
+                " THEN element_at(__rl, j) ELSE 0 END), 0, (a, x) -> a + x)"
+            )
+            frac = (
+                f"CASE WHEN size(__g{n}) > 0 AND __rtotal > 0 THEN"
+                f" round(CAST({covered} AS DOUBLE) / __rtotal, 4)"
+                " ELSE 0.0 END"
+            )
+            name = f"dup_{n}gram_char_frac"
+            out = out.withColumn(name, F.expr(frac))
+            flags.append(F.col(name) <= dup_thresholds[n])
+        gate = flags[0]
+        for fl in flags[1:]:
+            gate = gate & fl
+        return out.withColumn("repetition_pass", gate).drop(*cols)
+
+    # plan-level split: coalesce() keeps NULL-text rows (size → NULL) in
+    # the count branch, so the two filters are exact complements and no
+    # row is lost or duplicated
+    short = F.expr(
+        f"coalesce(size({toks}) <= {_GOPHER_SORT_CUTOVER}, true)"
+    )
+    return signals(df.filter(short), False).unionByName(
+        signals(df.filter(~short), True)
+    )
 
 
 # --- PII redaction ---------------------------------------------------------------
