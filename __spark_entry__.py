@@ -83,6 +83,13 @@ _scope_width_stack: list = [None]
 
 @contextmanager
 def _small_input_scope(spark: SparkSession, sf_dir: str, *tables: str):
+    # plan-capture hook (bench_extra --plans): a no-op scope returns the
+    # LAZY frame, exposing the full physical plan instead of the
+    # localCheckpoint scan the materialized path would show — exactly
+    # the production-scale plan, since the scope no-ops there anyway
+    if os.environ.get("PUNT_SCOPE_DISABLE"):
+        yield None
+        return
     nbytes = sum(
         os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
         for t in tables
