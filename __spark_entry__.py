@@ -1512,6 +1512,12 @@ def q_gopher_repetition(spark, sf_dir):
     return gopher_repetition(
         d, top_ns=(2, 3, 4), dup_ns=(2, 3),
         dup_thresholds={2: 0.5, 3: 0.3},
+        # corpus-adapted like the n-sets above: the synthetic fixture's
+        # docs are ~50 words by construction, far under the 128-token
+        # sort crossover, so the single count-only plan skips the long-
+        # doc branch's constant analysis cost (identical outputs; the
+        # library DEFAULT keeps the split for unknown corpora)
+        sort_cutover=None,
     ).select(
         "doc_id",
         "top_2gram_char_frac",

@@ -228,6 +228,7 @@ def gopher_repetition(
     top_thresholds: dict[int, float] | None = None,
     dup_thresholds: dict[int, float] | None = None,
     max_tokens: int = 2048,
+    sort_cutover: int | None = _GOPHER_SORT_CUTOVER,
 ) -> DataFrame:
     """Gopher repetition signals (Rae et al. 2021 Table A1), token-char
     basis: for each n in ``top_ns``, ``top_{n}gram_char_frac`` = (top
@@ -257,7 +258,10 @@ def gopher_repetition(
     Measured: ~50-token docs 0.83 s count-only vs 1.02 s sort-only;
     1000-token docs 13.0 s count-only vs 4.1 s sort-only — the r6
     count-only formulation was the documented wall-clock cliff toward
-    ``max_tokens``-length rows (ADVICE r6). The dup coverage stays
+    ``max_tokens``-length rows (ADVICE r6). ``sort_cutover=None`` picks
+    the single count-only plan for corpora KNOWN short (the second
+    branch costs constant analysis/codegen); outputs are identical in
+    every mode. The dup coverage stays
     O(T·n); ``max_tokens`` still truncates pathological rows (the
     standard quality-filter guard; signals are then over the prefix).
     For corpora where full-document coverage matters at book length,
@@ -404,12 +408,17 @@ def gopher_repetition(
             gate = gate & fl
         return out.withColumn("repetition_pass", gate).drop(*cols)
 
+    # ``sort_cutover=None``: single count-only plan — for corpora KNOWN
+    # to be short-doc (the union's second branch plus its filter pair
+    # costs a constant ~0.3-0.5 s of analysis/codegen per call, pure
+    # waste when no row can cross the cutover). Outputs are identical
+    # either way; this only picks the plan.
+    if sort_cutover is None:
+        return signals(df, False)
     # plan-level split: coalesce() keeps NULL-text rows (size → NULL) in
     # the count branch, so the two filters are exact complements and no
     # row is lost or duplicated
-    short = F.expr(
-        f"coalesce(size({toks}) <= {_GOPHER_SORT_CUTOVER}, true)"
-    )
+    short = F.expr(f"coalesce(size({toks}) <= {sort_cutover}, true)")
     return signals(df.filter(short), False).unionByName(
         signals(df.filter(~short), True)
     )

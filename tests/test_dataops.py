@@ -2812,6 +2812,40 @@ def test_gopher_repetition(spark):
     assert got[4]["repetition_pass"] and got[5]["repetition_pass"]
 
 
+def test_gopher_repetition_sort_branch_matches_count(spark):
+    """The O(G log G) sorted-runs branch (docs past sort_cutover) must
+    emit bit-identical signals to the O(G²) count branch — planted on
+    long docs ABOVE the cutover (the oracle fixtures never cross it) in
+    all three plan modes: count-only (sort_cutover=None), sort-only
+    (sort_cutover=0), and the default split."""
+    import random
+
+    from punt_spark.dataops.textstats import gopher_repetition
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]  # small vocab → real duplicates
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(n)))
+        for i, n in enumerate((150, 200, 129, 300, 50, 400))
+    ] + [(9, None)]  # NULL text must survive every mode
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(top_ns=(2, 3), dup_ns=(2, 5), dup_thresholds={2: 0.5, 5: 0.3})
+
+    def run(cutover):
+        return {
+            r["doc_id"]: tuple(
+                r[c] for c in sorted(r.asDict()) if c.startswith(("top_", "dup_", "repetition"))
+            )
+            for r in gopher_repetition(df, sort_cutover=cutover, **kw).collect()
+        }
+
+    count_only = run(None)
+    sort_only = run(0)
+    split = run(128)
+    assert count_only == sort_only == split
+    assert len(count_only) == len(rows)  # no row lost/duplicated by the split
+
+
 def test_bigram_logprob_train_df(spark):
     """CCNet reference-LM mode: counts/vocab from train_df, unseen
     bigrams and unseen unigrams take the smoothing floor (left joins)
