@@ -1273,12 +1273,17 @@ def q_ann_topk(spark, sf_dir):
     sims = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
+        # bind the raw cosine to a column FIRST: round_signed references
+        # its argument twice (round + sign probe), and inlining the full
+        # cosine aggregate would evaluate it twice per row (measured
+        # +13%); CollapseProject keeps the boundary for non-cheap exprs
+        .select("vec_id", F.expr(_cosine_expr("v", "qv")).alias("__raw"))
         .select(
             "vec_id",
             # round_signed: a raw cosine in (-0.005, 0) must emit -0.0 to
             # byte-match DuckDB's DOUBLE round (the r6 semantic_dedup
             # hash-gap class; latent here on fixture luck)
-            round_signed(F.expr(_cosine_expr("v", "qv")), 2).alias("sim_r"),
+            round_signed(F.col("__raw"), 2).alias("sim_r"),
         )
     )
     # Distributed top-k (TakeOrderedAndProject), not a single-partition

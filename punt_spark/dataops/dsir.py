@@ -168,11 +168,12 @@ def dsir_select(
     pair). Returns (id, logw, key_r) for the selected rows."""
     w = dsir_weights(raw, target, text_col, id_col, n_buckets, alpha, salt)
     keyed = w.withColumn(
-        "key_r",
+        # bind the perturbed key first: round_signed references its
+        # argument twice, and the Gumbel term carries an md5 chain
+        "__kraw", F.col("logw") + gumbel_noise(F.col(id_col), gumbel_salt)
+    ).withColumn(
         # round_signed: a perturbed key in (-0.005, 0) must emit -0.0 to
         # byte-match the DuckDB oracle's DOUBLE round (see sampling)
-        round_signed(
-            F.col("logw") + gumbel_noise(F.col(id_col), gumbel_salt), round_dp
-        ),
-    )
+        "key_r", round_signed(F.col("__kraw"), round_dp)
+    ).drop("__kraw")
     return keyed.orderBy(F.col("key_r").desc(), F.col(id_col)).limit(k)
